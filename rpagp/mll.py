@@ -1,0 +1,51 @@
+"""Unified marginal log-likelihood and posterior: exact vs iterative dispatch.
+
+Rebuild of GPyTorch's size-based dispatch ([G]
+gpytorch/distributions/multivariate_normal.py log_prob +
+gpytorch/functions/_inv_quad_log_det.py + settings.max_cholesky_size —
+SURVEY.md §3.2): below `spec.max_cholesky_size` training points the MLL is
+the dense Cholesky; above, it is the BBMM path — batched preconditioned CG
+for the inv-quad and stochastic Lanczos quadrature for the logdet, with a
+custom_vjp so gradients are probe-vector trace estimates (never
+differentiating through CG iterations).
+
+Dispatch happens at TRACE time on the static shape of x — no dynamic
+control flow enters the compiled program.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .models import exact_gp
+from .models.exact_gp import ModelSpec
+
+
+def mll(spec: ModelSpec, params, buffers, x, y, key=None):
+    """Marginal log-likelihood (total, not per-point)."""
+    n = x.shape[0]
+    if n <= spec.max_cholesky_size:
+        return exact_gp.exact_mll(spec, params, buffers, x, y)
+    from .ops.iterative import iterative_mll  # deferred: stage-3 module
+
+    if key is None:
+        key = jax.random.key(0)
+    return iterative_mll(spec, params, buffers, x, y, key)
+
+
+def posterior(spec: ModelSpec, params, buffers, x_train, y_train, x_test,
+              observation_noise: bool = True):
+    """Posterior predictive (mean, var) with the same size dispatch."""
+    n = x_train.shape[0]
+    if n <= spec.max_cholesky_size:
+        return exact_gp.predict(
+            spec, params, buffers, x_train, y_train, x_test,
+            observation_noise=observation_noise,
+        )
+    from .ops.iterative import iterative_posterior
+
+    return iterative_posterior(
+        spec, params, buffers, x_train, y_train, x_test,
+        observation_noise=observation_noise,
+    )

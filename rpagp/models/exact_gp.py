@@ -1,0 +1,104 @@
+"""Exact GP regression model: mean + kernel + Gaussian likelihood.
+
+TPU-native rebuild of the reference's model layer
+([U] gp_models/models.py — ExactGPModel(train_x, train_y, likelihood,
+kernel) subclassing gpytorch.models.ExactGP; unverified, SURVEY.md §1 L4).
+Instead of a stateful nn.Module, the model is a static `ModelSpec` plus a
+(params, buffers) pytree pair; every operation is a pure function of them,
+so `jax.jit` / `jax.grad` / `shard_map` apply directly.
+
+params:
+  mean_const       — constant mean value (GPyTorch ConstantMean default).
+  raw_noise        — likelihood noise through softplus + 1e-4 floor
+                     (matches [G] gpytorch GaussianLikelihood's
+                     GreaterThan(1e-4) constraint).
+  kernel: {...}    — see ops.kernels.init_kernel_params.
+buffers:
+  kernel: {proj}   — fixed random projections (checkpointed with params:
+                     they define the model, arXiv:1912.12834).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import exact, kernels
+from ..ops.kernels import KernelSpec
+from ..utils.transforms import softplus
+
+NOISE_FLOOR = 1e-4
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSpec:
+    """Static model configuration (hashable; safe as a jit closure)."""
+
+    kernel: KernelSpec
+    mean: str = "constant"  # "constant" | "zero"
+    jitter: float = 1e-6
+    # exact-vs-iterative dispatch, mirroring GPyTorch's max_cholesky_size
+    # ([G] gpytorch/settings.py); the iterative path lands in ops.cg/slq.
+    max_cholesky_size: int = 4096
+    # iterative-path knobs (BBMM CG + pivoted-Cholesky precond + SLQ logdet)
+    cg_tol: float = 1.0
+    cg_max_iters: int = 100
+    precond_rank: int = 15
+    num_probes: int = 10
+    mvm_block_rows: int = 4096
+
+
+def init_model(key, spec: ModelSpec, D: int, dtype=jnp.float32):
+    """Build (params, buffers) for a fresh model. Raw params init to 0
+    (GPyTorch defaults: lengthscale/outputscale/noise ~ softplus(0))."""
+    kp, kb = kernels.init_kernel_params(key, spec.kernel, D, dtype)
+    params = {
+        "raw_noise": jnp.zeros((), dtype),
+        "kernel": kp,
+    }
+    if spec.mean == "constant":
+        params["mean_const"] = jnp.zeros((), dtype)
+    buffers = {"kernel": kb}
+    return params, buffers
+
+
+def noise_value(params):
+    return softplus(params["raw_noise"]) + NOISE_FLOOR
+
+
+def mean_fn(spec: ModelSpec, params, x):
+    n = x.shape[0]
+    if spec.mean == "constant":
+        return jnp.full((n,), 1.0, x.dtype) * params["mean_const"]
+    return jnp.zeros((n,), x.dtype)
+
+
+def exact_mll(spec: ModelSpec, params, buffers, x, y):
+    """Exact Cholesky marginal log-likelihood (total over n points)."""
+    K = kernels.gram(spec.kernel, params["kernel"], buffers["kernel"], x, x)
+    yc = y - mean_fn(spec, params, x)
+    return exact.cholesky_mll(K, yc, noise_value(params), spec.jitter)
+
+
+def predict(spec: ModelSpec, params, buffers, x_train, y_train, x_test,
+            observation_noise: bool = True):
+    """Posterior predictive mean/variance at x_test (exact Cholesky path).
+
+    Mirrors the reference's `likelihood(model(test_x))` stack (SURVEY.md
+    §3.3): mean cache solve, cross-covariance mean, Cholesky-whitened
+    variance, + observation noise from the likelihood.
+    """
+    kspec, kp, kb = spec.kernel, params["kernel"], buffers["kernel"]
+    K = kernels.gram(kspec, kp, kb, x_train, x_train)
+    yc = y_train - mean_fn(spec, params, x_train)
+    noise = noise_value(params)
+    L, alpha = exact.cholesky_posterior_cache(K, yc, noise, spec.jitter)
+    K_star = kernels.gram(kspec, kp, kb, x_test, x_train)
+    k_diag = kernels.gram_diag(kspec, kp, kb, x_test)
+    mean_delta, var = exact.posterior_from_cache(
+        K_star, k_diag, L, alpha, noise=noise if observation_noise else None
+    )
+    return mean_delta + mean_fn(spec, params, x_test), var

@@ -1,0 +1,131 @@
+"""Experiment runner CLI: datasets x CV splits -> CSV of RMSE/NLL/time.
+
+Rebuild of the reference's entry point ([U] gp_experiment_runner.py —
+unverified, SURVEY.md §1 L6 / §3.1): parse args, loop datasets and k-fold
+splits, build the model from a JSON spec, train to convergence, evaluate,
+and append one CSV row per (dataset, split) with the same column contract
+(dataset, split, rmse, nll, train_time, iterations, mll) so downstream
+result aggregation carries over.
+
+Usage:
+  python -m rpagp.runner --model_spec specs/rp_poly_j10.json \
+      --datasets yacht energy --splits 10 --output results.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import mll as mll_mod
+from .models import exact_gp
+from .ops.exact import gaussian_nll
+from .train import train_to_convergence
+from .utils import datasets as data_mod
+from .utils.config import ExperimentSpec, load_spec
+
+CSV_COLUMNS = [
+    "dataset",
+    "split",
+    "model",
+    "n_train",
+    "n_test",
+    "rmse",
+    "nll",
+    "mll",
+    "train_time_s",
+    "iterations",
+    "synthetic_data",
+]
+
+
+def run_split(exp: ExperimentSpec, split, seed: int = 0):
+    """Train on one split, return metrics dict (SURVEY.md §3.1 inner loop)."""
+    x = jnp.asarray(split.train_x)
+    y = jnp.asarray(split.train_y)
+    xt = jnp.asarray(split.test_x)
+    yt = jnp.asarray(split.test_y)
+    spec = exp.model
+
+    params, buffers = exact_gp.init_model(jax.random.key(seed), spec, x.shape[1])
+    n = x.shape[0]
+    loss_fn = lambda p: -mll_mod.mll(spec, p, buffers, x, y) / n
+
+    t0 = time.perf_counter()
+    res = train_to_convergence(
+        loss_fn,
+        params,
+        lr=exp.train.lr,
+        max_iters=exp.train.max_iters,
+        patience=exp.train.patience,
+        rel_tol=exp.train.rel_tol,
+    )
+    train_time = time.perf_counter() - t0
+
+    mu, var = mll_mod.posterior(spec, res.params, buffers, x, y, xt)
+    rmse = float(jnp.sqrt(jnp.mean((mu - yt) ** 2)))
+    nll = float(gaussian_nll(yt, mu, var))
+    return {
+        "rmse": rmse,
+        "nll": nll,
+        "mll": -res.losses[-1] if res.losses else float("nan"),
+        "train_time_s": train_time,
+        "iterations": res.iterations,
+        "n_train": int(n),
+        "n_test": int(xt.shape[0]),
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="RPA-GP experiment runner (TPU-native)")
+    ap.add_argument("--model_spec", required=True, help="path to JSON model spec")
+    ap.add_argument("--datasets", nargs="+", required=True)
+    ap.add_argument("--splits", type=int, default=10, help="k for k-fold CV")
+    ap.add_argument("--max_splits", type=int, default=None,
+                    help="run only the first m of the k folds")
+    ap.add_argument("--output", default="results.csv")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--max_points", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    exp = load_spec(args.model_spec)
+    rows = []
+    for ds_name in args.datasets:
+        ds = data_mod.load_dataset(ds_name, max_points=args.max_points)
+        if ds.synthetic:
+            print(f"[warn] {ds_name}: no .mat found — synthetic fallback data",
+                  file=sys.stderr)
+        for i, split in enumerate(data_mod.kfold_splits(ds, k=args.splits, seed=args.seed)):
+            if args.max_splits is not None and i >= args.max_splits:
+                break
+            m = run_split(exp, split, seed=args.seed + i)
+            row = {
+                "dataset": ds_name,
+                "split": i,
+                "model": exp.name,
+                "synthetic_data": ds.synthetic,
+                **m,
+            }
+            rows.append(row)
+            print(
+                f"{ds_name}[{i}] n={m['n_train']} rmse={m['rmse']:.4f} "
+                f"nll={m['nll']:.4f} iters={m['iterations']} "
+                f"t={m['train_time_s']:.1f}s"
+            )
+
+    with open(args.output, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=CSV_COLUMNS)
+        w.writeheader()
+        for r in rows:
+            w.writerow(r)
+    print(f"wrote {len(rows)} rows -> {args.output}")
+
+
+if __name__ == "__main__":
+    main()

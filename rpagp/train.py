@@ -1,0 +1,133 @@
+"""Hyperparameter training: Adam on the (negative) marginal log-likelihood.
+
+TPU-native rebuild of the reference's training routines
+([U] training_routines.py — `train_to_convergence(model, xs, ys, objective,
+max_iter, patience, ...)`; unverified, SURVEY.md §1 L5). The torch pattern
+(module.backward + optimizer.step) becomes one jit'd pure step:
+`value_and_grad(loss)(params)` + `optax.adam` update — compiled once,
+re-used every iteration.
+
+Two loops are provided:
+  * train_to_convergence — Python loop with patience-based early stopping
+    (host reads the loss each step, like the reference's convergence check).
+  * train_fixed — `lax.scan` over a fixed iteration count: zero host sync,
+    the whole optimization is ONE XLA program (the benchmark-mode loop; no
+    torch equivalent — this is where TPU wins wall-clock).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@dataclasses.dataclass
+class TrainResult:
+    params: dict
+    losses: list
+    iterations: int
+    converged: bool
+    wall_time_s: float
+
+
+def make_step(loss_fn: Callable, optimizer) -> Callable:
+    """Build the jit'd (params, opt_state) -> (params, opt_state, loss) step."""
+
+    @jax.jit
+    def step(params, opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def train_to_convergence(
+    loss_fn: Callable,
+    params,
+    lr: float = 0.1,
+    max_iters: int = 1000,
+    patience: int = 20,
+    rel_tol: float = 1e-6,
+    verbose: bool = False,
+    optimizer=None,
+) -> TrainResult:
+    """Adam to convergence with patience stopping on the best loss seen.
+
+    Mirrors the reference's `train_to_convergence` contract: stop when the
+    loss has not improved by `rel_tol` for `patience` consecutive steps, or
+    at `max_iters`.
+    """
+    optimizer = optimizer or optax.adam(lr)
+    opt_state = optimizer.init(params)
+    step = make_step(loss_fn, optimizer)
+
+    best = float("inf")
+    best_params = params
+    bad = 0
+    losses = []
+    t0 = time.perf_counter()
+    converged = False
+    i = 0
+    for i in range(max_iters):
+        params, opt_state, loss = step(params, opt_state)
+        loss = float(loss)
+        losses.append(loss)
+        if verbose and i % 50 == 0:
+            print(f"  iter {i:4d}  loss {loss:.6f}")
+        if not jnp.isfinite(loss):
+            # diverged — return the best params seen
+            break
+        if best == float("inf") or loss < best - rel_tol * max(1.0, abs(best)):
+            best, best_params, bad = loss, params, 0
+        else:
+            bad += 1
+            if bad >= patience:
+                converged = True
+                break
+    return TrainResult(
+        params=best_params,
+        losses=losses,
+        iterations=i + 1,
+        converged=converged,
+        wall_time_s=time.perf_counter() - t0,
+    )
+
+
+def train_fixed(
+    loss_fn: Callable,
+    params,
+    lr: float = 0.1,
+    num_iters: int = 100,
+    optimizer=None,
+):
+    """Fixed-iteration training as ONE compiled XLA program (lax.scan).
+
+    Returns (params, losses). No host round-trips: the TPU runs all
+    `num_iters` Adam steps back-to-back — the right shape for benchmarking
+    MLL-step wall-clock (BASELINE.md metric).
+    """
+    optimizer = optimizer or optax.adam(lr)
+
+    def scan_step(carry, _):
+        params, opt_state = carry
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    @jax.jit
+    def run(params):
+        opt_state = optimizer.init(params)
+        (params, _), losses = jax.lax.scan(
+            scan_step, (params, opt_state), None, length=num_iters
+        )
+        return params, losses
+
+    return run(params)

@@ -1,0 +1,99 @@
+"""Model-spec config system: JSON specs -> frozen dataclass configs.
+
+Rebuild of the reference's config layer ([U] model_specs/*.json consumed by
+[U] gp_experiment_runner.py — unverified, SURVEY.md §5 "Config / flag
+system"): JSON files describing kernel family, J, degree, projection
+distribution, base kernel, SKI grid size, and optimizer settings, so
+reference experiment specs translate 1:1. No hydra/gin — a frozen
+dataclass + plain json, same as the reference's argparse+JSON approach.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+from ..models.exact_gp import ModelSpec
+from ..ops.kernels import KernelSpec
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 0.1
+    max_iters: int = 1000
+    patience: int = 20
+    rel_tol: float = 1e-6
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentSpec:
+    model: ModelSpec
+    train: TrainConfig
+    name: str = "experiment"
+    model_family: str = "exact_gp"  # "exact_gp" | "svgp"
+    # SVGP-only knobs
+    num_inducing: int = 512
+    batch_size: int = 1024
+
+
+def kernel_spec_from_dict(d: dict) -> KernelSpec:
+    typ = d.get("type", "rbf")
+    if typ in ("rbf", "matern12", "matern32", "matern52"):
+        return KernelSpec(family=typ, ard=bool(d.get("ard", True)))
+    if typ in ("projection", "rp_poly", "polynomial_projection"):
+        common = dict(
+            proj_dist=d.get("proj_dist", "gaussian"),
+            learn_proj=bool(d.get("learn_proj", False)),
+            per_component_scale=bool(d.get("per_component_scale", False)),
+            space_proj=bool(d.get("space_proj", False)),
+            ski=bool(d.get("ski", False)),
+            grid_size=int(d.get("grid_size", 0)),
+        )
+        if "degrees" in d:  # generalized (heterogeneous) form
+            bases = d.get("bases", ["rbf"] * len(d["degrees"]))
+            return KernelSpec.generalized(d["degrees"], bases, **common)
+        return KernelSpec.polynomial(
+            J=int(d.get("J", 10)),
+            d=int(d.get("d", 1)),
+            base=d.get("base", "rbf"),
+            **common,
+        )
+    raise ValueError(f"unknown kernel type {typ!r}")
+
+
+def experiment_spec_from_dict(d: dict, name: str = "experiment") -> ExperimentSpec:
+    kspec = kernel_spec_from_dict(d.get("kernel", {}))
+    inf = d.get("inference", {})
+    model = ModelSpec(
+        kernel=kspec,
+        mean=d.get("mean", "constant"),
+        max_cholesky_size=int(inf.get("max_cholesky_size", 4096)),
+        cg_tol=float(inf.get("cg_tol", 1.0)),
+        cg_max_iters=int(inf.get("cg_max_iters", 100)),
+        precond_rank=int(inf.get("precond_rank", 15)),
+        num_probes=int(inf.get("num_probes", 10)),
+        mvm_block_rows=int(inf.get("mvm_block_rows", 4096)),
+    )
+    tr = d.get("training", {})
+    train = TrainConfig(
+        lr=float(tr.get("lr", 0.1)),
+        max_iters=int(tr.get("max_iters", 1000)),
+        patience=int(tr.get("patience", 20)),
+        rel_tol=float(tr.get("rel_tol", 1e-6)),
+    )
+    return ExperimentSpec(
+        model=model,
+        train=train,
+        name=d.get("name", name),
+        model_family=d.get("model", "exact_gp"),
+        num_inducing=int(d.get("num_inducing", 512)),
+        batch_size=int(d.get("batch_size", 1024)),
+    )
+
+
+def load_spec(path: str) -> ExperimentSpec:
+    with open(path) as f:
+        d = json.load(f)
+    name = path.rsplit("/", 1)[-1].removesuffix(".json")
+    return experiment_spec_from_dict(d, name=name)
