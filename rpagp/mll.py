@@ -25,7 +25,7 @@ from .models.exact_gp import ModelSpec
 def mll(spec: ModelSpec, params, buffers, x, y, key=None):
     """Marginal log-likelihood (total, not per-point)."""
     n = x.shape[0]
-    if n <= spec.max_cholesky_size:
+    if n <= spec.max_cholesky_size and not spec.kernel.ski:
         return exact_gp.exact_mll(spec, params, buffers, x, y)
     from .ops.iterative import iterative_mll  # deferred: stage-3 module
 
@@ -38,7 +38,7 @@ def posterior(spec: ModelSpec, params, buffers, x_train, y_train, x_test,
               observation_noise: bool = True):
     """Posterior predictive (mean, var) with the same size dispatch."""
     n = x_train.shape[0]
-    if n <= spec.max_cholesky_size:
+    if n <= spec.max_cholesky_size and not spec.kernel.ski:
         return exact_gp.predict(
             spec, params, buffers, x_train, y_train, x_test,
             observation_noise=observation_noise,

@@ -326,16 +326,24 @@ def mvm(
     The iterative-inference workhorse (BBMM-CG's one op per iteration —
     reference analog [G] gpytorch/utils/linear_cg.py's matmul closure).
     Each block computes a (rows, m) Gram slab (all J components fused) and
-    contracts with V immediately, so peak memory is O(block * m), never
-    O(n * m) or O(J * n * m). `lax.map` keeps the loop in XLA with static
-    shapes; rows are padded to a whole number of blocks.
+    contracts with V immediately, so peak memory is O(J * block * m), never
+    O(J * n * m). `lax.map` keeps the loop in XLA with static shapes; rows
+    are padded to a whole number of blocks. The block size is auto-capped
+    so the (J*d, block, m) intermediate stays within a fixed element
+    budget (~64M elems = 256 MB f32) regardless of caller settings, and
+    the per-block computation is rematerialized (jax.checkpoint) so
+    reverse-mode through an MVM stores O(block * t), not the Gram slabs.
     """
-    n = x1.shape[0]
+    n, m = x1.shape[0], x2.shape[0]
+    M_total = max(1, spec.total_proj_dims if spec.is_projection else 1)
+    budget_elems = 1 << 26
+    block_rows = min(block_rows, max(16, budget_elems // (M_total * max(m, 1))))
     nb = max(1, -(-n // block_rows))
     n_pad = nb * block_rows
     x1p = jnp.pad(x1, ((0, n_pad - n), (0, 0)))
     x1b = x1p.reshape(nb, block_rows, x1.shape[1])
 
+    @jax.checkpoint
     def block_fn(xb):
         Kb = gram(spec, params, buffers, xb, x2)  # (block, m)
         # f32-accurate contraction: CG convergence stalls on bf16 MVM noise.

@@ -1,0 +1,196 @@
+"""Iterative-path oracle tests: pivoted Cholesky, Woodbury, batched PCG,
+SLQ logdet, and the custom_vjp MLL — every structured/estimated path gets
+a dense oracle (SURVEY.md §4, the GPyTorch test pattern)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rpagp import KernelSpec, ModelSpec, init_model, exact_mll, predict
+from rpagp.models.exact_gp import noise_value
+from rpagp.ops import cg as cg_mod
+from rpagp.ops import iterative, kernels, precond
+
+KEY = jax.random.key(0)
+_HI = jax.lax.Precision.HIGHEST
+# dense-oracle MVM closures need f32-accurate matmuls too: the platform
+# default is bf16-class and CG stalls at its noise floor
+_mm = lambda A: (lambda V: jnp.matmul(A, V, precision=_HI))
+
+
+def _setup(n=200, D=4, J=6, seed=2, **model_kw):
+    kx, ky = jax.random.split(jax.random.key(seed))
+    x = jax.random.normal(kx, (n, D))
+    y = jnp.sin(2 * x[:, 0]) + 0.5 * jnp.cos(x[:, 1]) + 0.1 * jax.random.normal(ky, (n,))
+    spec = ModelSpec(kernel=KernelSpec.polynomial(J=J, d=1), **model_kw)
+    params, buffers = init_model(KEY, spec, D)
+    return spec, params, buffers, x, y
+
+
+def _dense_A(spec, params, buffers, x):
+    K = kernels.gram(spec.kernel, params["kernel"], buffers["kernel"], x, x)
+    return K + noise_value(params) * jnp.eye(x.shape[0])
+
+
+# ------------------------------------------------------- pivoted Cholesky
+
+
+def test_pivoted_cholesky_full_rank_recovers_K():
+    spec, params, buffers, x, _ = _setup(n=30)
+    K = np.asarray(
+        kernels.gram(spec.kernel, params["kernel"], buffers["kernel"], x, x)
+    )
+    L = np.asarray(
+        precond.pivoted_cholesky(spec.kernel, params["kernel"], buffers["kernel"], x, 30)
+    )
+    np.testing.assert_allclose(L @ L.T, K, atol=5e-4)
+
+
+def test_pivoted_cholesky_error_decreases_with_rank():
+    spec, params, buffers, x, _ = _setup(n=60)
+    K = np.asarray(
+        kernels.gram(spec.kernel, params["kernel"], buffers["kernel"], x, x)
+    )
+    errs = []
+    for r in (2, 8, 20):
+        L = np.asarray(
+            precond.pivoted_cholesky(
+                spec.kernel, params["kernel"], buffers["kernel"], x, r
+            )
+        )
+        errs.append(np.trace(K - L @ L.T))
+    assert errs[0] > errs[1] > errs[2]
+    assert errs[2] >= -1e-3  # residual trace stays nonnegative
+
+
+def test_woodbury_apply_and_logdet_vs_dense():
+    spec, params, buffers, x, _ = _setup(n=50)
+    noise = jnp.asarray(0.3)
+    pre = precond.build_preconditioner(
+        spec.kernel, params["kernel"], buffers["kernel"], x, noise, rank=10
+    )
+    M = np.asarray(pre.L) @ np.asarray(pre.L).T + 0.3 * np.eye(50)
+    R = np.asarray(jax.random.normal(jax.random.key(5), (50, 3)))
+    got = np.asarray(precond.apply_inverse(pre, jnp.asarray(R)))
+    want = np.linalg.solve(M, R)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        float(pre.logdet), np.linalg.slogdet(M)[1], rtol=1e-4
+    )
+
+
+# ----------------------------------------------------------- batched PCG
+
+
+@pytest.mark.parametrize("use_pre", [False, True])
+def test_pcg_matches_dense_solve(use_pre):
+    spec, params, buffers, x, y = _setup(n=120)
+    A = _dense_A(spec, params, buffers, x)
+    B = jax.random.normal(jax.random.key(9), (120, 4))
+    M_inv = None
+    if use_pre:
+        pre = precond.build_preconditioner(
+            spec.kernel, params["kernel"], buffers["kernel"], x,
+            noise_value(params), rank=10,
+        )
+        M_inv = lambda R: precond.apply_inverse(pre, R)
+    res = cg_mod.batched_pcg(_mm(A), B, M_inv, max_iters=150, tol=1e-6)
+    want = np.linalg.solve(np.asarray(A, np.float64), np.asarray(B, np.float64))
+    np.testing.assert_allclose(np.asarray(res.solution), want, rtol=2e-2, atol=2e-3)
+
+
+def test_pcg_while_converges_early_and_matches():
+    spec, params, buffers, x, _ = _setup(n=120)
+    A = _dense_A(spec, params, buffers, x)
+    B = jax.random.normal(jax.random.key(11), (120, 2))
+    pre = precond.build_preconditioner(
+        spec.kernel, params["kernel"], buffers["kernel"], x,
+        noise_value(params), rank=15,
+    )
+    res = cg_mod.batched_pcg_while(
+        _mm(A), B, lambda R: precond.apply_inverse(pre, R),
+        max_iters=500, tol=1e-5,
+    )
+    assert int(res.iterations) < 500
+    want = np.linalg.solve(np.asarray(A, np.float64), np.asarray(B, np.float64))
+    np.testing.assert_allclose(np.asarray(res.solution), want, rtol=2e-2, atol=2e-3)
+
+
+def test_tridiags_eigenvalues_live_in_spectrum():
+    spec, params, buffers, x, _ = _setup(n=100)
+    A = _dense_A(spec, params, buffers, x)
+    Z = jax.random.normal(jax.random.key(13), (100, 5))
+    res = cg_mod.batched_pcg(_mm(A), Z, None, max_iters=30, tol=0.0)
+    T = cg_mod.lanczos_tridiags_from_cg(res.alphas, res.betas)
+    evals = np.linalg.eigvalsh(np.asarray(T))
+    w = np.linalg.eigvalsh(np.asarray(A))
+    assert evals.min() > w.min() - 1e-3
+    assert evals.max() < w.max() + 1e-3
+
+
+# ----------------------------------------------------- SLQ logdet + MLL
+
+
+def test_iterative_mll_matches_exact():
+    spec, params, buffers, x, y = _setup(
+        n=300, cg_max_iters=80, cg_tol=1e-8, precond_rank=15, num_probes=64
+    )
+    want = float(exact_mll(spec, params, buffers, x, y))
+    got = float(iterative.iterative_mll(spec, params, buffers, x, y, jax.random.key(3)))
+    # SLQ is stochastic; 64 probes on n=300 should land within ~1%.
+    assert abs(got - want) / abs(want) < 0.02, (got, want)
+
+
+def test_inv_quad_exact_when_cg_converged():
+    spec, params, buffers, x, y = _setup(
+        n=150, cg_max_iters=150, cg_tol=1e-10, precond_rank=10, num_probes=8
+    )
+    iq, _ = iterative.inv_quad_logdet(spec, params, buffers, x, y, jax.random.key(4))
+    A = np.asarray(_dense_A(spec, params, buffers, x), np.float64)
+    yc = np.asarray(y - params["mean_const"], np.float64)
+    want = yc @ np.linalg.solve(A, yc)
+    np.testing.assert_allclose(float(iq), want, rtol=1e-3)
+
+
+def test_iterative_gradients_match_exact_within_noise():
+    """The custom_vjp gradient is a stochastic trace estimator: unbiased
+    around the exact (Cholesky-path) gradient with O(1/sqrt(t)) noise per
+    seed. Check direction (cosine) per seed and value on a 3-seed mean."""
+    spec, params, buffers, x, y = _setup(
+        n=150, cg_max_iters=60, cg_tol=1e-8, precond_rank=15, num_probes=64
+    )
+    ge, _ = jax.flatten_util.ravel_pytree(
+        jax.grad(lambda p: exact_mll(spec, p, buffers, x, y))(params)
+    )
+    ge = np.asarray(ge, np.float64)
+    gs = []
+    for seed in (7, 8, 9):
+        gi, _ = jax.flatten_util.ravel_pytree(
+            jax.grad(
+                lambda p: iterative.iterative_mll(
+                    spec, p, buffers, x, y, jax.random.key(seed)
+                )
+            )(params)
+        )
+        gi = np.asarray(gi, np.float64)
+        cos = ge @ gi / (np.linalg.norm(ge) * np.linalg.norm(gi))
+        assert cos > 0.995, (seed, cos)
+        gs.append(gi)
+    gm = np.mean(gs, axis=0)
+    np.testing.assert_allclose(gm, ge, rtol=0.15, atol=0.05)
+
+
+def test_iterative_posterior_matches_exact():
+    spec, params, buffers, x, y = _setup(
+        n=250, cg_max_iters=100, cg_tol=1e-8, precond_rank=15, num_probes=16
+    )
+    xt = jax.random.normal(jax.random.key(21), (40, x.shape[1]))
+    mu_e, var_e = predict(spec, params, buffers, x, y, xt)
+    mu_i, var_i = iterative.iterative_posterior(
+        spec, params, buffers, x, y, xt, var_chunk=16, var_tol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(mu_i), np.asarray(mu_e), atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(var_i), np.asarray(var_e), rtol=2e-2, atol=2e-3
+    )

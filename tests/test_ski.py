@@ -1,0 +1,131 @@
+"""SKI/Toeplitz oracle tests (SURVEY.md §4: every structured path vs its
+dense materialization, the GPyTorch test pattern)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import scipy.linalg
+
+from rpagp import KernelSpec, ModelSpec, init_model, exact_mll
+from rpagp.models.exact_gp import noise_value
+from rpagp.ops import iterative, kernels, ski
+
+KEY = jax.random.key(0)
+
+
+def _setup(n=80, D=4, J=5, m=64, seed=3):
+    x = jax.random.normal(jax.random.key(seed), (n, D))
+    spec = KernelSpec.polynomial(J=J, d=1, base="rbf", ski=True, grid_size=m)
+    kp, kb = kernels.init_kernel_params(KEY, spec, D)
+    return spec, kp, kb, x
+
+
+def test_sym_toeplitz_matmul_vs_dense():
+    J, m, t = 3, 32, 4
+    col = jnp.exp(-0.1 * jnp.arange(m, dtype=jnp.float32))[None, :] * (
+        1.0 + 0.3 * jnp.arange(1, J + 1, dtype=jnp.float32)[:, None]
+    )
+    U = jax.random.normal(jax.random.key(1), (J, m, t))
+    got = np.asarray(ski.sym_toeplitz_matmul(col, U))
+    for j in range(J):
+        T = scipy.linalg.toeplitz(np.asarray(col[j]))
+        np.testing.assert_allclose(got[j], T @ np.asarray(U[j]), rtol=1e-4, atol=1e-4)
+
+
+def test_interp_weights_partition_of_unity():
+    spec, kp, kb, x = _setup()
+    st = ski.build_ski(spec, kp, kb, x, spec.grid_size)
+    np.testing.assert_allclose(np.asarray(st.w.sum(-1)), 1.0, atol=1e-5)
+    assert st.idx.min() >= 0 and st.idx.max() < st.m
+
+
+def test_interpolation_reconstructs_smooth_function():
+    """W applied to f(grid) should reproduce f(z) for smooth f — the
+    heart of the KISS-GP approximation."""
+    spec, kp, kb, x = _setup(m=128)
+    st = ski.build_ski(spec, kp, kb, x, 128)
+    z = ski.project(spec, kp, kb, x)  # (J, n)
+    grid = st.grid_lo[:, None] + st.h[:, None] * jnp.arange(st.m)[None, :]
+    f = lambda v: jnp.sin(2.0 * v)
+    G = f(grid)[:, :, None]  # (J, m, 1)
+    got = np.asarray(ski.interp_apply(st, G))[:, :, 0]
+    np.testing.assert_allclose(got, np.asarray(f(z)), atol=2e-3)
+
+
+def test_ski_mvm_close_to_exact_kernel_mvm():
+    spec, kp, kb, x = _setup(n=100, m=256)
+    st = ski.build_ski(spec, kp, kb, x, 256)
+    V = jax.random.normal(jax.random.key(2), (100, 3))
+    got = np.asarray(ski.ski_mvm(spec, kp, st, V))
+    K = np.asarray(kernels.gram(spec, kp, kb, x, x))
+    want = K @ np.asarray(V)
+    # SKI is an approximation: agreement to ~1e-3 relative at m=256
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=5e-3)
+
+
+def test_ski_mvm_symmetric_psdish():
+    spec, kp, kb, x = _setup(n=60, m=128)
+    st = ski.build_ski(spec, kp, kb, x, 128)
+    I = jnp.eye(60)
+    K_ski = np.asarray(ski.ski_mvm(spec, kp, st, I))
+    np.testing.assert_allclose(K_ski, K_ski.T, atol=1e-5)
+    w = np.linalg.eigvalsh(K_ski)
+    assert w.min() > -1e-4  # W T W^T is PSD up to roundoff
+
+
+def test_ski_gram_diag_matches_dense():
+    spec, kp, kb, x = _setup(n=50, m=96)
+    st = ski.build_ski(spec, kp, kb, x, 96)
+    I = jnp.eye(50)
+    K_ski = np.asarray(ski.ski_mvm(spec, kp, st, I))
+    dg = np.asarray(ski.ski_gram_diag(spec, kp, st, 50))
+    np.testing.assert_allclose(dg, np.diagonal(K_ski), rtol=1e-4, atol=1e-5)
+
+
+def test_ski_mll_close_to_exact_mll():
+    n, D = 200, 4
+    x = jax.random.normal(jax.random.key(5), (n, D))
+    y = jnp.sin(2 * x[:, 0]) + 0.1 * jax.random.normal(jax.random.key(6), (n,))
+    kspec_ski = KernelSpec.polynomial(J=5, d=1, ski=True, grid_size=256)
+    spec = ModelSpec(
+        kernel=kspec_ski, cg_max_iters=80, cg_tol=1e-8,
+        precond_rank=15, num_probes=64,
+    )
+    params, buffers = init_model(KEY, spec, D)
+    got = float(
+        iterative.iterative_mll(spec, params, buffers, x, y, jax.random.key(7))
+    )
+    # exact-kernel MLL as reference: SKI(m=256) should track it to ~1%
+    spec_exact = ModelSpec(kernel=KernelSpec.polynomial(J=5, d=1))
+    want = float(exact_mll(spec_exact, params, buffers, x, y))
+    assert abs(got - want) / abs(want) < 0.03, (got, want)
+
+
+def test_ski_posterior_close_to_exact():
+    n, D = 150, 3
+    x = jax.random.normal(jax.random.key(8), (n, D))
+    y = jnp.sin(2 * x[:, 0]) + 0.1 * jax.random.normal(jax.random.key(9), (n,))
+    xt = jax.random.normal(jax.random.key(10), (30, D))
+    kspec_ski = KernelSpec.polynomial(J=4, d=1, ski=True, grid_size=256)
+    spec = ModelSpec(kernel=kspec_ski, cg_max_iters=100, cg_tol=1e-8,
+                     precond_rank=10, num_probes=8)
+    params, buffers = init_model(KEY, spec, D)
+    mu_i, var_i = iterative.iterative_posterior(
+        spec, params, buffers, x, y, xt, var_chunk=16, var_tol=1e-4
+    )
+    from rpagp import predict
+
+    spec_exact = ModelSpec(kernel=KernelSpec.polynomial(J=4, d=1))
+    mu_e, var_e = predict(spec_exact, params, buffers, x, y, xt)
+    np.testing.assert_allclose(np.asarray(mu_i), np.asarray(mu_e), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(var_i), np.asarray(var_e), rtol=5e-2)
+
+
+def test_ski_requires_degree_one():
+    spec = KernelSpec.polynomial(J=3, d=2, ski=True, grid_size=32)
+    kp, kb = kernels.init_kernel_params(KEY, spec, 4)
+    x = jax.random.normal(jax.random.key(11), (10, 4))
+    with pytest.raises(ValueError):
+        ski.build_ski(spec, kp, kb, x, 32)
