@@ -44,11 +44,15 @@ class ModelSpec:
     # ([G] gpytorch/settings.py); the iterative path lands in ops.cg/slq.
     max_cholesky_size: int = 4096
     # iterative-path knobs (BBMM CG + pivoted-Cholesky precond + SLQ logdet)
-    cg_tol: float = 1.0
+    # cg_tol is a RELATIVE residual threshold (must be < 1: the relative
+    # residual STARTS at 1.0, so tol >= 1 freezes CG at iteration zero)
+    cg_tol: float = 1e-2
     cg_max_iters: int = 100
     precond_rank: int = 15
     num_probes: int = 10
     mvm_block_rows: int = 4096
+    # LOVE predictive-variance cache rank (0 = off: chunked-CG variances)
+    love_rank: int = 0
 
 
 def init_model(key, spec: ModelSpec, D: int, dtype=jnp.float32):

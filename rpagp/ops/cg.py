@@ -48,7 +48,7 @@ def batched_pcg(
     B,
     M_inv: Optional[Callable] = None,
     max_iters: int = 100,
-    tol: float = 1.0,
+    tol: float = 1e-2,
 ):
     """Fixed-shape batched PCG via lax.scan; returns solves + (alpha, beta).
 

@@ -226,6 +226,22 @@ def iterative_posterior(
                      states=cross_states)[:, 0]
     mu = mu + exact_gp.mean_fn(spec, params, x_test)
 
+    if spec.love_rank > 0:
+        # LOVE path: one Lanczos cache, then one cross-MVM per test batch
+        from . import love
+
+        cache = love.build_love_cache(
+            A_mvm, yc, noise, spec.love_rank, alpha=alpha
+        )
+        K_star_Q = _kernel_mvm(
+            spec, params, buffers, x_test, x_train, cache.Q,
+            states=cross_states,
+        )  # (n_test, r)
+        kd = kernels.gram_diag(kspec, kp, kb, x_test)
+        var = love.love_variance(cache, K_star_Q, kd,
+                                 observation_noise=observation_noise)
+        return mu, var
+
     # variance: chunk the test points; each chunk is one batched CG
     nc = -(-n_test // var_chunk)
     pad = nc * var_chunk - n_test

@@ -1,0 +1,280 @@
+"""Multi-chip execution: device mesh, row-sharded kernel MVMs over ICI.
+
+The reference has NO distributed code (SURVEY.md §2.4: single-process,
+single-GPU; torch.distributed never imported) — this layer is the TPU
+build's first-class addition (BASELINE.json config 5: data-sharded kernel
+MVMs over ICI on HouseElectric, J=20).
+
+Design (scaling-book recipe: pick a mesh, shard, let collectives ride ICI):
+
+* The TRAINING SET is the scaling axis — X rows are sharded over a 1-D
+  `data` mesh axis. Hyperparameters are a few dozen floats: always
+  replicated. X itself is small (HouseElectric: 1.8M x 11 ~ 80 MB) but
+  the MVM compute/intermediates are O(n^2/dev) or O(n/dev) — that's what
+  shards.
+
+* Dense-kernel path — RING BLOCKED MVM (`ring_mvm`): each device holds an
+  (n/dev)-row shard of X and V; at each of the ndev ring steps it computes
+  the K(local rows, visiting columns) @ V_visiting partial product and
+  `ppermute`s the visiting (X, V) shard to its ring neighbor. Identical
+  data movement to ring attention (SURVEY.md §5 "long-context analog"),
+  no softmax. Output rows stay local — no reduction needed.
+
+* SKI path — GRID-PSUM MVM (`sharded_ski_mvm`): interpolation scatters
+  each local shard onto the SHARED m-point grids, one `psum` over ICI
+  merges grid-space partials (J*m*t floats — megabytes, vs gigabytes of
+  data-space), the Toeplitz FFT runs replicated (grid-sized, trivial),
+  and the gather back to rows is local. ICI traffic is grid-sized,
+  independent of n: this is the config-5 headline path.
+
+Both run inside ONE `jax.shard_map`; CG/Adam logic stays at the jit level
+where GSPMD auto-inserts the (cheap, vector-sized) psums for dot products.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import exact_gp
+from ..models.exact_gp import ModelSpec
+from ..ops import cg as cg_mod
+from ..ops import kernels, precond, ski, slq
+from ..ops.exact import LOG_2PI
+
+AXIS = "data"
+
+
+def make_mesh(devices=None, axis: str = AXIS) -> Mesh:
+    """1-D data mesh over all (or the given) devices."""
+    devices = jax.devices() if devices is None else devices
+    import numpy as np
+
+    return Mesh(np.asarray(devices), axis_names=(axis,))
+
+
+def shard_rows(arr, mesh: Mesh):
+    """Place an array row-sharded over the data axis (rows must divide)."""
+    spec = P(AXIS, *([None] * (arr.ndim - 1)))
+    return jax.device_put(arr, NamedSharding(mesh, spec))
+
+
+def replicate(tree, mesh: Mesh):
+    sh = NamedSharding(mesh, P())
+    return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
+
+
+# ---------------------------------------------------------------------------
+# Ring blocked MVM (dense kernel at scale)
+# ---------------------------------------------------------------------------
+
+
+def ring_mvm(kspec, kparams, kbuffers, x_local, v_local, axis: str = AXIS,
+             block_rows: int = 4096):
+    """(K V) rows for the local shard via a ring over the mesh axis.
+
+    Runs INSIDE shard_map. x_local: (n/dev, D), v_local: (n/dev, t).
+    Each step: partial = K(x_local, x_visit) @ v_visit; rotate visit pair.
+    ndev-1 ppermutes over ICI, fully overlappable with the (much larger)
+    per-step compute.
+    """
+    ndev = jax.lax.axis_size(axis)
+    perm = [(j, (j + 1) % ndev) for j in range(ndev)]
+
+    def body(i, carry):
+        acc, x_visit, v_visit = carry
+        acc = acc + kernels.mvm(
+            kspec, kparams, kbuffers, x_local, x_visit, v_visit,
+            block_rows=block_rows,
+        )
+        x_visit = jax.lax.ppermute(x_visit, axis, perm)
+        v_visit = jax.lax.ppermute(v_visit, axis, perm)
+        return acc, x_visit, v_visit
+
+    acc0 = jnp.zeros((x_local.shape[0], v_local.shape[1]), v_local.dtype)
+    acc, _, _ = jax.lax.fori_loop(0, ndev, body, (acc0, x_local, v_local))
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Sharded SKI MVM (grid-space psum — ICI traffic independent of n)
+# ---------------------------------------------------------------------------
+
+
+def sharded_ski_mvm(kspec, kparams, state_local: ski.SKIState, v_local,
+                    axis: str = AXIS):
+    """K_ski V rows for the local shard. Runs INSIDE shard_map.
+
+    state_local holds the interpolation geometry of the LOCAL rows against
+    the GLOBAL grid (same grid on every device — build with global
+    z_bounds). W^T scatter is local; one psum merges (J, m, t) grid
+    partials; Toeplitz FFT + gather are local.
+    """
+    col = ski.toeplitz_columns(kspec, kparams, state_local)  # (J, m)
+    U = ski.interp_transpose(state_local, v_local)  # (J, m, t) partial
+    U = jax.lax.psum(U, axis)  # grid-sized ICI traffic
+    TU = ski.sym_toeplitz_matmul(col, U)
+    WTU = ski.interp_apply(state_local, TU)  # back to local rows
+    scales = kernels._component_scales(kspec, kparams, v_local.dtype)
+    return jnp.tensordot(scales, WTU, axes=1)
+
+
+# ---------------------------------------------------------------------------
+# Distributed MLL training step (the config-5 program)
+# ---------------------------------------------------------------------------
+
+
+def _global_z_bounds(kspec, kparams, kbuffers, x_local, axis: str = AXIS):
+    """Per-projection global [min, max] of z = xP across all shards."""
+    z = ski.project(kspec, kparams, kbuffers, x_local)  # (J, n/dev)
+    lo = jax.lax.pmin(jnp.min(z, axis=1), axis)
+    hi = jax.lax.pmax(jnp.max(z, axis=1), axis)
+    return lo, hi
+
+
+def distributed_mll(spec: ModelSpec, params, buffers, x_local, y_local,
+                    eps_big_local, axis: str = AXIS):
+    """Marginal log-likelihood on row-sharded data. Runs INSIDE shard_map.
+
+    The SPMD mirror of ops.iterative's forward: batched PCG where the MVM
+    is ring (dense) or grid-psum (SKI) and every dot-product reduction
+    carries a psum. Gradient flows through jax.grad of THIS function —
+    the CG loop is wrapped in stop-gradient solves exactly like the
+    single-chip custom_vjp (see distributed_train_step).
+
+    eps_big_local: (n/dev, t) pre-sampled probe normals (per-shard slice).
+    Preconditioner: the identity-scaled M = noise*I (rank-0) — pivoted
+    Cholesky's argmax-pivot is global-sequential and cheap to add later;
+    rank-0 keeps the hot path collective-minimal.
+    """
+    kspec, kp, kb = spec.kernel, params["kernel"], buffers["kernel"]
+    noise = exact_gp.noise_value(params)
+    nsg = jax.lax.stop_gradient(noise)
+    n_local = x_local.shape[0]
+    ndev = jax.lax.axis_size(axis)
+    n = n_local * ndev
+
+    yc = y_local - params.get("mean_const", jnp.zeros((), x_local.dtype))
+
+    if kspec.ski:
+        bounds = _global_z_bounds(kspec, jax.lax.stop_gradient(kp), kb, x_local, axis)
+        state = ski.build_ski(kspec, jax.lax.stop_gradient(kp), kb, x_local,
+                              kspec.grid_size, z_bounds=bounds)
+        kmvm = lambda p, V: sharded_ski_mvm(kspec, p["kernel"], state, V, axis)
+    else:
+        kmvm = lambda p, V: ring_mvm(kspec, p["kernel"], kb, x_local, V, axis)
+
+    def A_mvm_sg(V):  # value path (stop-grad params), used inside CG
+        psg = jax.lax.stop_gradient(params)
+        return kmvm(psg, V) + nsg * V
+
+    Z = jnp.sqrt(nsg) * eps_big_local
+    B = jnp.concatenate([jax.lax.stop_gradient(yc)[:, None], Z], axis=1)
+
+    # ---- batched PCG with psum'd reductions (fixed iterations) ----
+    def psum_dot(a, b):
+        return jax.lax.psum(jnp.sum(a * b, axis=0), axis)
+
+    M_inv = lambda R: R / nsg
+    X0 = jnp.zeros_like(B)
+    R0, Z0 = B, M_inv(B)
+    rz0 = psum_dot(R0, Z0)
+    b_norm = jnp.sqrt(psum_dot(B, B))
+    b_norm = jnp.where(b_norm < 1e-20, 1.0, b_norm)
+
+    def step(carry, _):
+        Xs, R, Zp, Pd, rz = carry
+        # convergence mask per column (same as ops.cg.batched_pcg): frozen
+        # columns stop updating so their Lanczos coefficients stay clean
+        resid = jnp.sqrt(psum_dot(R, R)) / b_norm
+        active = resid > spec.cg_tol
+        V = A_mvm_sg(Pd)
+        pv = psum_dot(Pd, V)
+        alpha = rz / jnp.where(jnp.abs(pv) < 1e-20, 1e-20, pv)
+        alpha = jnp.where(active, alpha, 0.0)
+        Xs = Xs + alpha * Pd
+        R = R - alpha * V
+        Zp = M_inv(R)
+        rz_new = psum_dot(R, Zp)
+        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
+        beta = jnp.where(active, beta, 0.0)
+        Pd = Zp + beta * Pd
+        return (Xs, R, Zp, Pd, rz_new), (alpha, beta)
+
+    (solves, _, _, _, _), (alphas, betas) = jax.lax.scan(
+        step, (X0, R0, Z0, Z0, rz0), None, length=spec.cg_max_iters
+    )
+    solves = jax.lax.stop_gradient(solves)
+    alphas = jax.lax.stop_gradient(alphas)
+    betas = jax.lax.stop_gradient(betas)
+    alpha_vec = solves[:, 0]  # A^{-1} y_c rows (local)
+    S = solves[:, 1:]
+    MZ = M_inv(Z)
+
+    # ---- differentiable heads (quadratic forms; grads are the probe
+    #      trace estimator, matching ops.iterative's custom_vjp) ----
+    Ay = kmvm(params, alpha_vec[:, None])[:, 0] + noise * alpha_vec
+    inv_quad = jax.lax.psum(
+        2.0 * jnp.sum(alpha_vec * yc) - jnp.sum(alpha_vec * Ay), axis
+    )
+    AS = kmvm(params, MZ) + noise * MZ
+    t = S.shape[1]
+    surr_tr = jax.lax.psum(jnp.sum(S * AS), axis) / t  # grad == d logdet
+
+    # ---- SLQ logdet value (stop-grad; tridiags replicated) ----
+    T = cg_mod.lanczos_tridiags_from_cg(alphas[:, 1:], betas[:, 1:])
+    probe_sq = jax.lax.psum(jnp.sum(Z * MZ, axis=0), axis)
+    logdet_val = slq.slq_logdet_from_tridiags(T, probe_sq, n * jnp.log(nsg))
+
+    # value: -(iq + logdet)/2 - n/2 log 2pi; gradient: surrogate heads
+    logdet = logdet_val - jax.lax.stop_gradient(surr_tr) + surr_tr
+    return -0.5 * (inv_quad + logdet + n * LOG_2PI)
+
+
+def make_distributed_train_step(spec: ModelSpec, mesh: Mesh, optimizer,
+                                n_global: int, dtype=jnp.float32):
+    """One jit'd SPMD Adam step on row-sharded (x, y).
+
+    Returns step(params, opt_state, x_sharded, y_sharded, key)
+    -> (params, opt_state, loss). Everything under one jit; the shard_map
+    wraps the loss so collectives (ring ppermute / grid psum / dot psums)
+    ride ICI inside the compiled program.
+    """
+    import optax
+
+    ndev = mesh.devices.size
+
+    def loss_fn(params, buffers, x_local, y_local, eps_local):
+        return (
+            -distributed_mll(spec, params, buffers, x_local, y_local, eps_local)
+            / n_global
+        )
+
+    def value_and_summed_grad(p, b, xs, ys, es):
+        loss, g = jax.value_and_grad(loss_fn)(p, b, xs, ys, es)
+        # each device holds only its shard's contribution to d loss/d params
+        # (replicated params, sharded compute) — sum partials over ICI
+        g = jax.lax.psum(g, AXIS)
+        return loss, g
+
+    smapped = jax.shard_map(
+        value_and_summed_grad,
+        mesh=mesh,
+        in_specs=(P(), P(), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(params, buffers, opt_state, x_sharded, y_sharded, key):
+        eps = jax.random.normal(key, (n_global, spec.num_probes), dtype)
+        loss, grads = smapped(params, buffers, x_sharded, y_sharded, eps)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step

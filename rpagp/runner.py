@@ -53,6 +53,9 @@ def run_split(exp: ExperimentSpec, split, seed: int = 0):
     yt = jnp.asarray(split.test_y)
     spec = exp.model
 
+    if exp.model_family == "svgp":
+        return _run_split_svgp(exp, x, y, xt, yt, seed)
+
     params, buffers = exact_gp.init_model(jax.random.key(seed), spec, x.shape[1])
     n = x.shape[0]
     loss_fn = lambda p: -mll_mod.mll(spec, p, buffers, x, y) / n
@@ -78,6 +81,38 @@ def run_split(exp: ExperimentSpec, split, seed: int = 0):
         "train_time_s": train_time,
         "iterations": res.iterations,
         "n_train": int(n),
+        "n_test": int(xt.shape[0]),
+    }
+
+
+def _run_split_svgp(exp: ExperimentSpec, x, y, xt, yt, seed: int):
+    """SVGP branch: minibatch ELBO training + variational prediction."""
+    from .models import svgp
+
+    spec = exp.model
+    key = jax.random.key(seed)
+    k1, k2 = jax.random.split(key)
+    params, buffers = svgp.init_svgp_params(
+        k1, spec, x, num_inducing=min(exp.num_inducing, x.shape[0])
+    )
+    t0 = time.perf_counter()
+    res = svgp.train_svgp(
+        spec, params, buffers, x, y, k2,
+        batch_size=exp.batch_size,
+        num_epochs=max(1, exp.train.max_iters // 10),
+        lr=exp.train.lr,
+    )
+    train_time = time.perf_counter() - t0
+    mu, var = svgp.svgp_predict(spec, res.params, buffers, xt)
+    rmse = float(jnp.sqrt(jnp.mean((mu - yt) ** 2)))
+    nll = float(gaussian_nll(yt, mu, var))
+    return {
+        "rmse": rmse,
+        "nll": nll,
+        "mll": -res.losses[-1] if res.losses else float("nan"),
+        "train_time_s": train_time,
+        "iterations": len(res.losses),
+        "n_train": int(x.shape[0]),
         "n_test": int(xt.shape[0]),
     }
 

@@ -69,11 +69,12 @@ def experiment_spec_from_dict(d: dict, name: str = "experiment") -> ExperimentSp
         kernel=kspec,
         mean=d.get("mean", "constant"),
         max_cholesky_size=int(inf.get("max_cholesky_size", 4096)),
-        cg_tol=float(inf.get("cg_tol", 1.0)),
+        cg_tol=float(inf.get("cg_tol", 1e-2)),
         cg_max_iters=int(inf.get("cg_max_iters", 100)),
         precond_rank=int(inf.get("precond_rank", 15)),
         num_probes=int(inf.get("num_probes", 10)),
         mvm_block_rows=int(inf.get("mvm_block_rows", 4096)),
+        love_rank=int(inf.get("love_rank", 0)),
     )
     tr = d.get("training", {})
     train = TrainConfig(

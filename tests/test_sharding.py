@@ -1,0 +1,166 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (SURVEY.md §4:
+the TPU analog of 'test multi-node without a cluster'). Oracles are the
+single-device implementations."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from rpagp import KernelSpec, ModelSpec, init_model, exact_mll
+from rpagp.ops import kernels, ski
+from rpagp.parallel import sharding
+
+def _cpus():
+    try:
+        return jax.devices("cpu")
+    except RuntimeError:
+        return []
+
+
+pytestmark = pytest.mark.skipif(
+    len(_cpus()) < 8, reason="needs 8 virtual CPU devices"
+)
+
+KEY = jax.random.key(0)
+NDEV = 8
+
+
+def _mesh():
+    return sharding.make_mesh(_cpus()[:NDEV])
+
+
+def _data(n=128, D=4, seed=1):
+    kx, ky = jax.random.split(jax.random.key(seed))
+    x = jax.random.normal(kx, (n, D))
+    y = jnp.sin(2 * x[:, 0]) + 0.1 * jax.random.normal(ky, (n,))
+    return x, y
+
+
+def test_ring_mvm_matches_dense():
+    mesh = _mesh()
+    x, _ = _data(n=160)
+    V = jax.random.normal(jax.random.key(3), (160, 5))
+    kspec = KernelSpec.polynomial(J=4, d=1)
+    kp, kb = kernels.init_kernel_params(KEY, kspec, 4)
+
+    f = jax.shard_map(
+        lambda xl, vl: sharding.ring_mvm(kspec, kp, kb, xl, vl),
+        mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P("data"),
+        check_vma=False,
+    )
+    got = np.asarray(jax.jit(f)(x, V))
+    want = np.asarray(kernels.gram(kspec, kp, kb, x, x)) @ np.asarray(V)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_sharded_ski_mvm_matches_single_device():
+    mesh = _mesh()
+    x, _ = _data(n=160)
+    V = jax.random.normal(jax.random.key(5), (160, 3))
+    kspec = KernelSpec.polynomial(J=4, d=1, ski=True, grid_size=64)
+    kp, kb = kernels.init_kernel_params(KEY, kspec, 4)
+
+    # single-device oracle with the global grid
+    st_global = ski.build_ski(kspec, kp, kb, x, 64)
+    want = np.asarray(ski.ski_mvm(kspec, kp, st_global, V))
+
+    def f(xl, vl):
+        bounds = sharding._global_z_bounds(kspec, kp, kb, xl)
+        st = ski.build_ski(kspec, kp, kb, xl, 64, z_bounds=bounds)
+        return sharding.sharded_ski_mvm(kspec, kp, st, vl)
+
+    got = np.asarray(
+        jax.jit(
+            jax.shard_map(
+                f, mesh=mesh, in_specs=(P("data"), P("data")),
+                out_specs=P("data"), check_vma=False,
+            )
+        )(x, V)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_distributed_mll_matches_exact():
+    mesh = _mesh()
+    x, y = _data(n=128)
+    spec = ModelSpec(
+        kernel=KernelSpec.polynomial(J=4, d=1),
+        cg_max_iters=60, cg_tol=1e-8, precond_rank=0, num_probes=64,
+    )
+    params, buffers = init_model(KEY, spec, 4)
+    want = float(exact_mll(spec, params, buffers, x, y))
+
+    eps = jax.random.normal(jax.random.key(7), (128, 64))
+    f = jax.shard_map(
+        lambda p, b, xl, yl, el: sharding.distributed_mll(spec, p, b, xl, yl, el),
+        mesh=mesh,
+        in_specs=(P(), P(), P("data"), P("data"), P("data")),
+        out_specs=P(),
+        check_vma=False,
+    )
+    got = float(jax.jit(f)(params, buffers, x, y, eps))
+    assert abs(got - want) / abs(want) < 0.05, (got, want)
+
+
+def test_distributed_train_step_runs_and_learns():
+    mesh = _mesh()
+    n = 128
+    x, y = _data(n=n)
+    spec = ModelSpec(
+        kernel=KernelSpec.polynomial(J=4, d=1, ski=True, grid_size=64),
+        cg_max_iters=30, precond_rank=0, num_probes=8,
+    )
+    params, buffers = init_model(KEY, spec, 4)
+    opt = optax.adam(0.1)
+    step = sharding.make_distributed_train_step(spec, mesh, opt, n_global=n)
+
+    xs = sharding.shard_rows(x, mesh)
+    ys = sharding.shard_rows(y, mesh)
+    params = sharding.replicate(params, mesh)
+    buffers = sharding.replicate(buffers, mesh)
+    opt_state = opt.init(params)
+
+    losses = []
+    key = jax.random.key(11)
+    for i in range(10):
+        key, k = jax.random.split(key)
+        params, opt_state, loss = step(params, buffers, opt_state, xs, ys, k)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+
+def test_distributed_gradients_match_exact_direction():
+    mesh = _mesh()
+    x, y = _data(n=128)
+    spec = ModelSpec(
+        kernel=KernelSpec.polynomial(J=4, d=1),
+        cg_max_iters=60, cg_tol=1e-8, precond_rank=0, num_probes=64,
+    )
+    params, buffers = init_model(KEY, spec, 4)
+    ge, _ = jax.flatten_util.ravel_pytree(
+        jax.grad(lambda p: exact_mll(spec, p, buffers, x, y))(params)
+    )
+    ge = np.asarray(ge, np.float64)
+
+    def loss(p, b, xl, yl, el):
+        l = sharding.distributed_mll(spec, p, b, xl, yl, el)
+        return l
+
+    def vg(p, b, xl, yl, el):
+        g = jax.grad(loss)(p, b, xl, yl, el)
+        return jax.lax.psum(g, "data")
+
+    f = jax.shard_map(
+        vg, mesh=mesh,
+        in_specs=(P(), P(), P("data"), P("data"), P("data")),
+        out_specs=P(), check_vma=False,
+    )
+    eps = jax.random.normal(jax.random.key(13), (128, 64))
+    gi, _ = jax.flatten_util.ravel_pytree(jax.jit(f)(params, buffers, x, y, eps))
+    gi = np.asarray(gi, np.float64)
+    cos = ge @ gi / (np.linalg.norm(ge) * np.linalg.norm(gi))
+    assert cos > 0.99, cos
