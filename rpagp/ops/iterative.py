@@ -35,15 +35,17 @@ from ..ops import kernels, precond, ski, slq
 from ..ops.exact import LOG_2PI
 
 
-def _kernel_mvm(spec: ModelSpec, params, buffers, x1, x2, V, states=None):
+def _kernel_mvm(spec: ModelSpec, params, buffers, x1, x2, V, states=None,
+                allow_pallas: bool = False):
     """K(x1, x2) @ V — SKI (W T W^T, FFT) when the spec asks for it,
-    otherwise the blocked dense-free Gram MVM."""
+    otherwise the blocked dense-free Gram MVM (Pallas fused tile kernel
+    on TPU for value-only call sites)."""
     if spec.kernel.ski and states is not None:
         st1, st2 = states
         return ski.ski_mvm(spec.kernel, params["kernel"], st1, V, state_rhs=st2)
     return kernels.mvm(
         spec.kernel, params["kernel"], buffers["kernel"], x1, x2, V,
-        block_rows=spec.mvm_block_rows,
+        block_rows=spec.mvm_block_rows, allow_pallas=allow_pallas,
     )
 
 
@@ -62,7 +64,8 @@ def _make_A_mvm(spec: ModelSpec, params, buffers, x, noise, state=None):
 
     def A_mvm(V):
         KV = _kernel_mvm(spec, params, buffers, x, x, V,
-                         states=None if state is None else (state, state))
+                         states=None if state is None else (state, state),
+                         allow_pallas=True)
         return KV + noise * V
 
     return A_mvm
@@ -223,7 +226,7 @@ def iterative_posterior(
     alpha = res.solution[:, 0]
     cross_states = None if st_train is None else (st_test, st_train)
     mu = _kernel_mvm(spec, params, buffers, x_test, x_train, alpha[:, None],
-                     states=cross_states)[:, 0]
+                     states=cross_states, allow_pallas=True)[:, 0]
     mu = mu + exact_gp.mean_fn(spec, params, x_test)
 
     if spec.love_rank > 0:
@@ -235,7 +238,7 @@ def iterative_posterior(
         )
         K_star_Q = _kernel_mvm(
             spec, params, buffers, x_test, x_train, cache.Q,
-            states=cross_states,
+            states=cross_states, allow_pallas=True,
         )  # (n_test, r)
         kd = kernels.gram_diag(kspec, kp, kb, x_test)
         var = love.love_variance(cache, K_star_Q, kd,
@@ -261,7 +264,8 @@ def iterative_posterior(
                              states=(st_train, st_c))
         else:
             Kc = _kernel_mvm(spec, params, buffers, x_train, xc,
-                             jnp.eye(var_chunk, dtype=x_train.dtype))  # (n, c)
+                             jnp.eye(var_chunk, dtype=x_train.dtype),
+                             allow_pallas=True)  # (n, c)
         sol = cg_mod.batched_pcg_while(
             A_mvm, Kc, M_inv, max_iters=2 * spec.cg_max_iters, tol=var_tol
         ).solution

@@ -320,6 +320,7 @@ def mvm(
     x2,
     V,
     block_rows: int = 2048,
+    allow_pallas: bool = False,
 ):
     """Compute K(x1, x2) @ V, (n, t), streaming row blocks of K.
 
@@ -334,6 +335,21 @@ def mvm(
     the per-block computation is rematerialized (jax.checkpoint) so
     reverse-mode through an MVM stores O(block * t), not the Gram slabs.
     """
+    # Pallas fused Gram-MVM fast path: VALUE-ONLY call sites (CG loops,
+    # posterior solves — the 95% of MVMs that sit inside custom_vjp
+    # forwards). Differentiated paths keep the XLA route: the Pallas call
+    # has no vjp rule yet (backward-kernel work tracked for a later pass).
+    if allow_pallas and spec.is_projection:
+        from . import pallas_gram
+
+        if pallas_gram.supports(spec) and pallas_gram.on_tpu():
+            u1 = _projected_coords(spec, params, buffers, x1).T  # (n, M)
+            u2 = u1 if x2 is x1 else _projected_coords(spec, params, buffers, x2).T
+            w = _component_scales(spec, params, x1.dtype)
+            return pallas_gram.projected_gram_mvm(
+                u1, u2, w, V, base=spec.bases[0]
+            )
+
     n, m = x1.shape[0], x2.shape[0]
     M_total = max(1, spec.total_proj_dims if spec.is_projection else 1)
     budget_elems = 1 << 26

@@ -1,0 +1,150 @@
+"""Pallas TPU kernel: fused randomly-projected additive Gram x vector.
+
+The dense-path hot op (SURVEY.md §3.2 hot loop (2), BASELINE config 3):
+    out = K V,   K[i, l] = sum_j w_j * k1d(z1[i, j] - z2[l, j])
+computed tile-by-tile entirely in VMEM. The XLA fallback (ops.kernels.mvm)
+must materialize (J, block, m) kernel slabs in HBM — ~J x the Gram in
+traffic; this kernel keeps the (TILE_I, TILE_L) additive Gram tile
+resident in VMEM while all J components accumulate into it (VPU), then
+contracts with the V tile on the MXU. HBM traffic drops to the z tiles +
+V + out: O(n (J + t)) instead of O(J n m).
+
+Grid: (n/TILE_I, m/TILE_L), l innermost; the output tile revisits across
+l so the contraction accumulates in place (standard Pallas reduction
+pattern). All shapes padded to tile multiples by the host wrapper; pad
+columns carry weight-0 via V-padding and pad rows are sliced off.
+
+Supports the uniform degree-1 projection kernel (the RPA-GP hot case)
+with any stationary 1-D base (rbf / matern12/32/52).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SQRT3 = 1.7320508075688772
+_SQRT5 = 2.23606797749979
+
+TILE_I = 256
+TILE_L = 512
+
+
+def _k1d_tile(base: str, diff):
+    """Stationary 1-D kernel on a (TI, TL) difference tile — VPU math."""
+    if base == "rbf":
+        return jnp.exp(-0.5 * diff * diff)
+    a = jnp.abs(diff)
+    if base == "matern12":
+        return jnp.exp(-a)
+    if base == "matern32":
+        s = _SQRT3 * a
+        return (1.0 + s) * jnp.exp(-s)
+    if base == "matern52":
+        s = _SQRT5 * a
+        return (1.0 + s + s * s / 3.0) * jnp.exp(-s)
+    raise ValueError(base)
+
+
+def _gram_mvm_kernel(base: str, J: int, z1_ref, z2_ref, w_ref, v_ref,
+                     out_ref, ksum_ref):
+    """One (i, l) tile: build the additive Gram tile in VMEM, contract."""
+    l = pl.program_id(1)
+
+    ksum_ref[:] = jnp.zeros_like(ksum_ref)
+    for j in range(J):  # static unroll: J ~ 10-20 components
+        d = z1_ref[:, j][:, None] - z2_ref[:, j][None, :]  # (TI, TL)
+        ksum_ref[:] += w_ref[0, j] * _k1d_tile(base, d)
+
+    contrib = jnp.dot(
+        ksum_ref[:], v_ref[:], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (TI, T) — MXU, full-f32 passes (CG stalls on bf16 MVM noise)
+
+    @pl.when(l == 0)
+    def _():
+        out_ref[:] = contrib
+
+    @pl.when(l > 0)
+    def _():
+        out_ref[:] = out_ref[:] + contrib
+
+
+@functools.partial(jax.jit, static_argnames=("base", "interpret"))
+def projected_gram_mvm(z1, z2, w, V, base: str = "rbf",
+                       interpret: bool = False):
+    """out = K V for the degree-1 additive projected kernel.
+
+    z1: (n, J) lengthscale-scaled projected rows; z2: (m, J) columns;
+    w: (J,) component weights (outputscale/J folded in); V: (m, t).
+    """
+    n, J = z1.shape
+    m, t = V.shape[0], V.shape[1]
+
+    def pad(a, mult, axis):
+        p = (-a.shape[axis]) % mult
+        if p == 0:
+            return a
+        widths = [(0, 0)] * a.ndim
+        widths[axis] = (0, p)
+        return jnp.pad(a, widths)
+
+    z1p = pad(z1, TILE_I, 0)
+    z2p = pad(z2, TILE_L, 0)
+    Vp = pad(pad(V, TILE_L, 0), 128, 1)  # lane-pad t for clean MXU tiles
+    np_, mp_, tp_ = z1p.shape[0], z2p.shape[0], Vp.shape[1]
+    # pad rows of z2 produce garbage kernel values but multiply V's zero
+    # pad rows — contributions vanish exactly.
+
+    grid = (np_ // TILE_I, mp_ // TILE_L)
+    kernel = functools.partial(_gram_mvm_kernel, base, J)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_I, J), lambda i, l: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_L, J), lambda i, l: (l, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, J), lambda i, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_L, tp_), lambda i, l: (l, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_I, tp_), lambda i, l: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_, tp_), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((TILE_I, TILE_L), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * np_ * mp_ * (J + tp_),
+            bytes_accessed=4 * (np_ * J + mp_ * J + mp_ * tp_ + np_ * tp_),
+            transcendentals=np_ * mp_ * J,
+        ),
+        interpret=interpret,
+    )(z1p, z2p, w.reshape(1, J), Vp)
+    return out[:n, :t]
+
+
+def supports(spec) -> bool:
+    """Pallas fast path applies to uniform degree-1 projection kernels."""
+    return (
+        spec.is_projection
+        and len(set(spec.bases)) == 1
+        and all(d == 1 for d in spec.degrees)
+        and not spec.ski
+        and os.environ.get("RPAGP_NO_PALLAS", "0") != "1"
+    )
+
+
+def on_tpu() -> bool:
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:
+        return False
+    return plat not in ("cpu",)

@@ -177,30 +177,22 @@ def _interp_transpose_impl(state: SKIState, V):
     segment of cell c covers sorted points with i0 in (-inf, c - k + 1]:
     boundary row = bounds[:, c - k + 1].
     """
-    J, n, _ = state.idx.shape
-    t = V.shape[1]
-    m = state.bounds.shape[1]  # static (state.m may be traced under vjp)
-    Vs = jnp.take_along_axis(
-        V[None, :, :], state.order[:, :, None], axis=1
-    )  # (J, n, t) — the one unavoidable row-gather
-    zero = jnp.zeros((J, 1, t), V.dtype)
-    out = jnp.zeros((J, m, t), V.dtype)
-    cells = jnp.arange(m)
-    for tap in range(4):
-        contrib = state.w_sorted[:, :, tap, None] * Vs  # (J, n, t)
-        csum = jnp.concatenate([zero, jnp.cumsum(contrib, axis=1)], axis=1)
-        # cell c accumulates sorted points with i0 == c - tap + 1; prefix
-        # boundary at cell c for this tap is bounds[c - tap + 1]
-        shift = 1 - tap  # i0 = c + (1 - tap)
-        src = jnp.clip(cells + shift, -1, m - 1)
-        hi = jnp.where(cells + shift < 0, 0, jnp.take(state.bounds, jnp.maximum(src, 0), axis=1))
-        lo = jnp.where(cells + shift - 1 < 0, 0,
-                       jnp.take(state.bounds, jnp.maximum(src - 1, 0), axis=1))
-        seg = jnp.take_along_axis(csum, hi[:, :, None], axis=1) - jnp.take_along_axis(
-            csum, lo[:, :, None], axis=1
-        )
-        out = out + seg
-    return out
+    return _spread_sorted(
+        state,
+        jnp.take_along_axis(V[None, :, :], state.order[:, :, None], axis=1),
+    )
+
+
+# transient-memory budget for the grouped component loops below: at
+# HouseElectric scale a single (J, n, 4t) intermediate is ~5 GB — beyond
+# HBM headroom next to the CG state — so both interp directions process
+# components in groups sized to ~64M f32 elements of transient.
+_GROUP_BUDGET_ELEMS = 1 << 26
+
+
+def _component_groups_for(J: int, n: int, t: int) -> int:
+    per_j = max(1, n * 4 * t)
+    return max(1, min(J, _GROUP_BUDGET_ELEMS // per_j))
 
 
 def _interp_apply_impl(state: SKIState, G):
@@ -210,17 +202,33 @@ def _interp_apply_impl(state: SKIState, G):
     [G[c-1] | G[c] | G[c+1] | G[c+2]] (m, 4t) — three rolls of the small
     grid array — then each point reads a single 4t-wide row at its base
     cell. Row count drops 4x and row width grows 4x; both help the
-    TPU's per-row gather cost.
+    TPU's per-row gather cost. Components are processed in groups to cap
+    the (g, n, 4t) transient.
     """
     J, m, t = G.shape
-    G4 = jnp.concatenate(
-        [jnp.roll(G, 1 - k, axis=1) for k in range(4)], axis=2
-    )  # (J, m, 4t); roll wrap rows land on taps clipped to the padded
-    #    border cells, whose weights are ~0 for interior-built geometry
+    n = state.idx.shape[1]
+
+    def apply_group(args):
+        Gg, baseg, wg = args  # (g, m, t), (g, n), (g, n, 4)
+        G4 = jnp.concatenate(
+            [jnp.roll(Gg, 1 - k, axis=1) for k in range(4)], axis=2
+        )  # (g, m, 4t); wrap rows land on padded border cells (weight ~0)
+        rows = jnp.take_along_axis(G4, baseg[:, :, None], axis=1)
+        rows = rows.reshape(Gg.shape[0], -1, 4, t)
+        return jnp.einsum("jnk,jnkt->jnt", wg, rows)
+
     base = state.idx[:, :, 1]  # i0 (tap offsets are base + {-1,0,1,2})
-    rows = jnp.take_along_axis(G4, base[:, :, None], axis=1)  # (J, n, 4t)
-    rows = rows.reshape(J, -1, 4, t)
-    return jnp.einsum("jnk,jnkt->jnt", state.w, rows)
+    g = _component_groups_for(J, n, t)
+    if g >= J:
+        return apply_group((G, base, state.w))
+    # static python loop over component groups: slicing (never stacking)
+    # keeps the (., ., 4) tap arrays out of loop residuals, whose (8,128)
+    # lane tiling pads the 4-wide axis 32x (OOM at HouseElectric scale)
+    outs = []
+    for s0 in range(0, J, g):
+        s1 = min(J, s0 + g)
+        outs.append(apply_group((G[s0:s1], base[s0:s1], state.w[s0:s1])))
+    return jnp.concatenate(outs, axis=0)
 
 
 def ski_mvm(spec: KernelSpec, kparams, state: SKIState, V,
@@ -304,22 +312,46 @@ def _interp_transpose_per_component(state: SKIState, rows):
     """W_j^T rows_j with a separate RHS per component — (J, n, t) ->
     (J, m, t). Same scatter-free plan as _interp_transpose_impl but the
     gather-to-sorted-order picks from each component's own rows."""
-    J, n, t = rows.shape
-    m = state.bounds.shape[1]
-    Vs = jnp.take_along_axis(rows, state.order[:, :, None], axis=1)
-    zero = jnp.zeros((J, 1, t), rows.dtype)
-    out = jnp.zeros((J, m, t), rows.dtype)
+    return _spread_sorted(
+        state, jnp.take_along_axis(rows, state.order[:, :, None], axis=1)
+    )
+
+
+def _spread_sorted(state: SKIState, Vs):
+    """Shared scatter-free spread core: Vs (J, n, t) already in each
+    component's sorted-by-cell order -> grid values (J, m, t). Groups the
+    component axis to cap the cumsum transient at ~256 MB."""
+    J, n, t = Vs.shape
+    m = state.bounds.shape[1]  # static (state.m may be traced under vjp)
     cells = jnp.arange(m)
-    for tap in range(4):
-        contrib = state.w_sorted[:, :, tap, None] * Vs
-        csum = jnp.concatenate([zero, jnp.cumsum(contrib, axis=1)], axis=1)
-        shift = 1 - tap
-        src = jnp.clip(cells + shift, -1, m - 1)
-        hi = jnp.where(cells + shift < 0, 0,
-                       jnp.take(state.bounds, jnp.maximum(src, 0), axis=1))
-        lo = jnp.where(cells + shift - 1 < 0, 0,
-                       jnp.take(state.bounds, jnp.maximum(src - 1, 0), axis=1))
-        seg = jnp.take_along_axis(csum, hi[:, :, None], axis=1) \
-            - jnp.take_along_axis(csum, lo[:, :, None], axis=1)
-        out = out + seg
-    return out
+
+    def spread_group(args):
+        Vg, wg, bg = args  # (g, n, t), (g, n, 4), (g, m)
+        g_ = Vg.shape[0]
+        zero = jnp.zeros((g_, 1, t), Vg.dtype)
+        out = jnp.zeros((g_, m, t), Vg.dtype)
+        for tap in range(4):
+            contrib = wg[:, :, tap, None] * Vg
+            csum = jnp.concatenate([zero, jnp.cumsum(contrib, axis=1)], axis=1)
+            # cell c accumulates sorted points with i0 == c - tap + 1
+            shift = 1 - tap
+            src = jnp.clip(cells + shift, -1, m - 1)
+            hi = jnp.where(cells + shift < 0, 0,
+                           jnp.take(bg, jnp.maximum(src, 0), axis=1))
+            lo = jnp.where(cells + shift - 1 < 0, 0,
+                           jnp.take(bg, jnp.maximum(src - 1, 0), axis=1))
+            seg = jnp.take_along_axis(csum, hi[:, :, None], axis=1) \
+                - jnp.take_along_axis(csum, lo[:, :, None], axis=1)
+            out = out + seg
+        return out
+
+    g = _component_groups_for(J, n, t)
+    if g >= J:
+        return spread_group((Vs, state.w_sorted, state.bounds))
+    outs = []
+    for s0 in range(0, J, g):  # static loop; see _interp_apply_impl note
+        s1 = min(J, s0 + g)
+        outs.append(
+            spread_group((Vs[s0:s1], state.w_sorted[s0:s1], state.bounds[s0:s1]))
+        )
+    return jnp.concatenate(outs, axis=0)

@@ -82,14 +82,27 @@ def _data_dir() -> str:
 
 
 def _load_mat(name: str):
-    """Wilson-collection .mat layout: one 'data' array, y in last column."""
-    import scipy.io
+    """Wilson-collection .mat layout: one 'data' array, y in last column.
+
+    Tries the native C++ MAT5/CSV reader first (utils.native — ~10x the
+    Python parse speed for sweep workloads), then scipy."""
+    from . import native
 
     for cand in (f"{name}.mat", os.path.join(name, f"{name}.mat")):
         path = os.path.join(_data_dir(), cand)
         if os.path.exists(path):
-            mat = scipy.io.loadmat(path)
-            data = np.asarray(mat["data"], dtype=np.float64)
+            data = native.load_mat(path, "data")
+            if data is None:
+                import scipy.io
+
+                data = np.asarray(scipy.io.loadmat(path)["data"], np.float64)
+            return data[:, :-1], data[:, -1]
+    for cand in (f"{name}.csv", f"{name}.txt"):
+        path = os.path.join(_data_dir(), cand)
+        if os.path.exists(path):
+            data = native.load_csv(path)
+            if data is None:
+                data = np.loadtxt(path, delimiter=",")
             return data[:, :-1], data[:, -1]
     return None
 
