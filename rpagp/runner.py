@@ -45,7 +45,8 @@ CSV_COLUMNS = [
 ]
 
 
-def run_split(exp: ExperimentSpec, split, seed: int = 0):
+def run_split(exp: ExperimentSpec, split, seed: int = 0,
+              distributed: bool = False):
     """Train on one split, return metrics dict (SURVEY.md §3.1 inner loop)."""
     x = jnp.asarray(split.train_x)
     y = jnp.asarray(split.train_y)
@@ -55,6 +56,8 @@ def run_split(exp: ExperimentSpec, split, seed: int = 0):
 
     if exp.model_family == "svgp":
         return _run_split_svgp(exp, x, y, xt, yt, seed)
+    if distributed:
+        return _run_split_distributed(exp, x, y, xt, yt, seed)
 
     params, buffers = exact_gp.init_model(jax.random.key(seed), spec, x.shape[1])
     n = x.shape[0]
@@ -117,6 +120,65 @@ def _run_split_svgp(exp: ExperimentSpec, x, y, xt, yt, seed: int):
     }
 
 
+def _run_split_distributed(exp: ExperimentSpec, x, y, xt, yt, seed: int):
+    """Multi-chip branch: row-sharded SPMD training over the full device
+    mesh (parallel/sharding.py), single-host prediction afterwards."""
+    import optax
+
+    from .parallel import sharding
+
+    spec = exp.model
+    mesh = sharding.make_mesh()
+    ndev = mesh.devices.size
+    n = (x.shape[0] // ndev) * ndev  # rows must divide the mesh
+    x, y = x[:n], y[:n]
+
+    params, buffers = exact_gp.init_model(jax.random.key(seed), spec, x.shape[1])
+    opt = optax.adam(exp.train.lr)
+    step = sharding.make_distributed_train_step(spec, mesh, opt, n_global=n)
+
+    xs = sharding.shard_rows(x, mesh)
+    ys = sharding.shard_rows(y, mesh)
+    params = sharding.replicate(params, mesh)
+    buffers = sharding.replicate(buffers, mesh)
+    opt_state = opt.init(params)
+
+    key = jax.random.key(seed + 1)
+    t0 = time.perf_counter()
+    best, best_params, bad, losses = float("inf"), params, 0, []
+    ema = None
+    for i in range(exp.train.max_iters):
+        key, k = jax.random.split(key)
+        params, opt_state, loss = step(params, buffers, opt_state, xs, ys, k)
+        loss = float(loss)
+        losses.append(loss)
+        if not jnp.isfinite(loss):
+            break
+        # probes resample every step, so the loss is stochastic — run the
+        # patience logic on an EMA, not the raw estimate
+        ema = loss if ema is None else 0.8 * ema + 0.2 * loss
+        if ema < best - exp.train.rel_tol * max(1.0, abs(best)):
+            best, best_params, bad = ema, params, 0
+        else:
+            bad += 1
+            if bad >= exp.train.patience:
+                break
+    train_time = time.perf_counter() - t0
+
+    mu, var = mll_mod.posterior(spec, best_params, buffers, x, y, xt)
+    rmse = float(jnp.sqrt(jnp.mean((mu - yt) ** 2)))
+    nll = float(gaussian_nll(yt, mu, var))
+    return {
+        "rmse": rmse,
+        "nll": nll,
+        "mll": -losses[-1] if losses else float("nan"),
+        "train_time_s": train_time,
+        "iterations": len(losses),
+        "n_train": int(n),
+        "n_test": int(xt.shape[0]),
+    }
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description="RPA-GP experiment runner (TPU-native)")
     ap.add_argument("--model_spec", required=True, help="path to JSON model spec")
@@ -127,6 +189,8 @@ def main(argv=None):
     ap.add_argument("--output", default="results.csv")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--max_points", type=int, default=None)
+    ap.add_argument("--distributed", action="store_true",
+                    help="row-shard training over all devices (SPMD mesh)")
     args = ap.parse_args(argv)
 
     exp = load_spec(args.model_spec)
@@ -139,7 +203,8 @@ def main(argv=None):
         for i, split in enumerate(data_mod.kfold_splits(ds, k=args.splits, seed=args.seed)):
             if args.max_splits is not None and i >= args.max_splits:
                 break
-            m = run_split(exp, split, seed=args.seed + i)
+            m = run_split(exp, split, seed=args.seed + i,
+                          distributed=args.distributed)
             row = {
                 "dataset": ds_name,
                 "split": i,
