@@ -143,8 +143,14 @@ def supports(spec) -> bool:
 
 
 def on_tpu() -> bool:
+    """True when computations default to a non-CPU device. Honors
+    jax_default_device (tests pin CPU execution while a TPU plugin still
+    tops jax.devices())."""
     try:
-        plat = jax.devices()[0].platform
+        dev = jax.config.jax_default_device
+        if dev is None:
+            dev = jax.devices()[0]
+        plat = getattr(dev, "platform", str(dev))
     except Exception:
         return False
-    return plat not in ("cpu",)
+    return plat not in ("cpu", "cpu:0")

@@ -61,7 +61,15 @@ def run_split(exp: ExperimentSpec, split, seed: int = 0,
 
     params, buffers = exact_gp.init_model(jax.random.key(seed), spec, x.shape[1])
     n = x.shape[0]
-    loss_fn = lambda p: -mll_mod.mll(spec, p, buffers, x, y) / n
+    iterative = n > spec.max_cholesky_size or spec.kernel.ski
+    if iterative:
+        # stochastic MLL: resample probe vectors every step (reference
+        # behavior); train loop smooths patience with an EMA
+        loss_fn = lambda p, k: -mll_mod.mll(spec, p, buffers, x, y, key=k) / n
+        key = jax.random.key(seed + 1)
+    else:
+        loss_fn = lambda p: -mll_mod.mll(spec, p, buffers, x, y) / n
+        key = None
 
     t0 = time.perf_counter()
     res = train_to_convergence(
@@ -71,6 +79,7 @@ def run_split(exp: ExperimentSpec, split, seed: int = 0,
         max_iters=exp.train.max_iters,
         patience=exp.train.patience,
         rel_tol=exp.train.rel_tol,
+        key=key,
     )
     train_time = time.perf_counter() - t0
 

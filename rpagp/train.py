@@ -35,8 +35,21 @@ class TrainResult:
     wall_time_s: float
 
 
-def make_step(loss_fn: Callable, optimizer) -> Callable:
-    """Build the jit'd (params, opt_state) -> (params, opt_state, loss) step."""
+def make_step(loss_fn: Callable, optimizer, with_key: bool = False) -> Callable:
+    """Build the jit'd (params, opt_state[, key]) -> (params, opt_state,
+    loss) step. with_key: loss_fn(params, key) — for stochastic MLLs whose
+    probe vectors resample every step (the reference's behavior)."""
+
+    if with_key:
+
+        @jax.jit
+        def step(params, opt_state, key):
+            loss, grads = jax.value_and_grad(loss_fn)(params, key)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return step
 
     @jax.jit
     def step(params, opt_state):
@@ -57,26 +70,37 @@ def train_to_convergence(
     rel_tol: float = 1e-6,
     verbose: bool = False,
     optimizer=None,
+    key=None,
 ) -> TrainResult:
     """Adam to convergence with patience stopping on the best loss seen.
 
     Mirrors the reference's `train_to_convergence` contract: stop when the
     loss has not improved by `rel_tol` for `patience` consecutive steps, or
     at `max_iters`.
+
+    key: when given, loss_fn must be loss_fn(params, key) and receives a
+    fresh subkey every step (stochastic MLL probe resampling, as the
+    reference does); patience then runs on an EMA of the noisy loss.
     """
     optimizer = optimizer or optax.adam(lr)
     opt_state = optimizer.init(params)
-    step = make_step(loss_fn, optimizer)
+    stochastic = key is not None
+    step = make_step(loss_fn, optimizer, with_key=stochastic)
 
     best = float("inf")
     best_params = params
     bad = 0
     losses = []
+    ema = None
     t0 = time.perf_counter()
     converged = False
     i = 0
     for i in range(max_iters):
-        params, opt_state, loss = step(params, opt_state)
+        if stochastic:
+            key, sub = jax.random.split(key)
+            params, opt_state, loss = step(params, opt_state, sub)
+        else:
+            params, opt_state, loss = step(params, opt_state)
         loss = float(loss)
         losses.append(loss)
         if verbose and i % 50 == 0:
@@ -84,8 +108,12 @@ def train_to_convergence(
         if not jnp.isfinite(loss):
             # diverged — return the best params seen
             break
-        if best == float("inf") or loss < best - rel_tol * max(1.0, abs(best)):
-            best, best_params, bad = loss, params, 0
+        crit = loss
+        if stochastic:
+            ema = loss if ema is None else 0.8 * ema + 0.2 * loss
+            crit = ema
+        if best == float("inf") or crit < best - rel_tol * max(1.0, abs(best)):
+            best, best_params, bad = crit, params, 0
         else:
             bad += 1
             if bad >= patience:
