@@ -137,7 +137,9 @@ def _global_z_bounds(kspec, kparams, kbuffers, x_local, axis: str = AXIS):
 
 
 def distributed_mll(spec: ModelSpec, params, buffers, x_local, y_local,
-                    eps_big_local, axis: str = AXIS):
+                    eps_big_local, axis: str = AXIS, pre_L_local=None,
+                    pre_chol_small=None, pre_logdet=None,
+                    eps_small=None):
     """Marginal log-likelihood on row-sharded data. Runs INSIDE shard_map.
 
     The SPMD mirror of ops.iterative's forward: batched PCG where the MVM
@@ -147,9 +149,14 @@ def distributed_mll(spec: ModelSpec, params, buffers, x_local, y_local,
     single-chip custom_vjp (see distributed_train_step).
 
     eps_big_local: (n/dev, t) pre-sampled probe normals (per-shard slice).
-    Preconditioner: the identity-scaled M = noise*I (rank-0) — pivoted
-    Cholesky's argmax-pivot is global-sequential and cheap to add later;
-    rank-0 keeps the hot path collective-minimal.
+
+    Preconditioner: pass pre_L_local (n/dev, k) row-shard of the pivoted
+    Cholesky factor plus its (replicated) k x k Cholesky and exact logdet
+    (built OUTSIDE shard_map on replicated X — X is megabytes even at
+    HouseElectric scale, and rank-k pivoting is k kernel rows of work).
+    The Woodbury apply inside costs one k-dim psum per CG iteration —
+    k*t floats over ICI, negligible. eps_small: (k, t) replicated probe
+    normals so probes carry N(0, M). Omit all four for M = noise*I.
     """
     kspec, kp, kb = spec.kernel, params["kernel"], buffers["kernel"]
     noise = exact_gp.noise_value(params)
@@ -159,6 +166,7 @@ def distributed_mll(spec: ModelSpec, params, buffers, x_local, y_local,
     n = n_local * ndev
 
     yc = y_local - params.get("mean_const", jnp.zeros((), x_local.dtype))
+    has_pre = pre_L_local is not None
 
     if kspec.ski:
         bounds = _global_z_bounds(kspec, jax.lax.stop_gradient(kp), kb, x_local, axis)
@@ -172,14 +180,33 @@ def distributed_mll(spec: ModelSpec, params, buffers, x_local, y_local,
         psg = jax.lax.stop_gradient(params)
         return kmvm(psg, V) + nsg * V
 
-    Z = jnp.sqrt(nsg) * eps_big_local
-    B = jnp.concatenate([jax.lax.stop_gradient(yc)[:, None], Z], axis=1)
-
-    # ---- batched PCG with psum'd reductions (fixed iterations) ----
+    # ---- preconditioner apply + probes (Woodbury; k-dim psum) ----
     def psum_dot(a, b):
         return jax.lax.psum(jnp.sum(a * b, axis=0), axis)
 
-    M_inv = lambda R: R / nsg
+    if has_pre:
+        Lp = jax.lax.stop_gradient(pre_L_local)  # (n/dev, k)
+        Cs = jax.lax.stop_gradient(pre_chol_small)  # (k, k) replicated
+
+        def M_inv(R):
+            u = jax.lax.psum(
+                jnp.matmul(Lp.T, R, precision=jax.lax.Precision.HIGHEST),
+                axis,
+            )  # (k, t) — the only collective in the apply
+            w = jax.scipy.linalg.cho_solve((Cs, True), u)
+            return (R - jnp.matmul(Lp, w,
+                                   precision=jax.lax.Precision.HIGHEST)) / nsg
+
+        Z = jnp.matmul(Lp, eps_small,
+                       precision=jax.lax.Precision.HIGHEST)             + jnp.sqrt(nsg) * eps_big_local
+        Z = jax.lax.stop_gradient(Z)
+        precond_logdet = pre_logdet
+    else:
+        M_inv = lambda R: R / nsg
+        Z = jnp.sqrt(nsg) * eps_big_local
+        precond_logdet = n * jnp.log(nsg)
+
+    B = jnp.concatenate([jax.lax.stop_gradient(yc)[:, None], Z], axis=1)
     X0 = jnp.zeros_like(B)
     R0, Z0 = B, M_inv(B)
     rz0 = psum_dot(R0, Z0)
@@ -228,7 +255,7 @@ def distributed_mll(spec: ModelSpec, params, buffers, x_local, y_local,
     # ---- SLQ logdet value (stop-grad; tridiags replicated) ----
     T = cg_mod.lanczos_tridiags_from_cg(alphas[:, 1:], betas[:, 1:])
     probe_sq = jax.lax.psum(jnp.sum(Z * MZ, axis=0), axis)
-    logdet_val = slq.slq_logdet_from_tridiags(T, probe_sq, n * jnp.log(nsg))
+    logdet_val = slq.slq_logdet_from_tridiags(T, probe_sq, precond_logdet)
 
     # value: -(iq + logdet)/2 - n/2 log 2pi; gradient: surrogate heads
     logdet = logdet_val - jax.lax.stop_gradient(surr_tr) + surr_tr
@@ -248,14 +275,23 @@ def make_distributed_train_step(spec: ModelSpec, mesh: Mesh, optimizer,
 
     ndev = mesh.devices.size
 
-    def loss_fn(params, buffers, x_local, y_local, eps_local):
+    use_pre = spec.precond_rank > 0 and not spec.kernel.ski
+
+    def loss_fn(params, buffers, x_local, y_local, eps_local,
+                Lp, Cs, ld, eps_s):
         return (
-            -distributed_mll(spec, params, buffers, x_local, y_local, eps_local)
+            -distributed_mll(
+                spec, params, buffers, x_local, y_local, eps_local,
+                pre_L_local=Lp if use_pre else None,
+                pre_chol_small=Cs if use_pre else None,
+                pre_logdet=ld if use_pre else None,
+                eps_small=eps_s if use_pre else None,
+            )
             / n_global
         )
 
-    def value_and_summed_grad(p, b, xs, ys, es):
-        loss, g = jax.value_and_grad(loss_fn)(p, b, xs, ys, es)
+    def value_and_summed_grad(p, b, xs, ys, es, Lp, Cs, ld, eps_s):
+        loss, g = jax.value_and_grad(loss_fn)(p, b, xs, ys, es, Lp, Cs, ld, eps_s)
         # each device holds only its shard's contribution to d loss/d params
         # (replicated params, sharded compute) — sum partials over ICI
         g = jax.lax.psum(g, AXIS)
@@ -264,15 +300,37 @@ def make_distributed_train_step(spec: ModelSpec, mesh: Mesh, optimizer,
     smapped = jax.shard_map(
         value_and_summed_grad,
         mesh=mesh,
-        in_specs=(P(), P(), P(AXIS), P(AXIS), P(AXIS)),
+        in_specs=(P(), P(), P(AXIS), P(AXIS), P(AXIS),
+                  P(AXIS), P(), P(), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )
 
     @jax.jit
     def step(params, buffers, opt_state, x_sharded, y_sharded, key):
-        eps = jax.random.normal(key, (n_global, spec.num_probes), dtype)
-        loss, grads = smapped(params, buffers, x_sharded, y_sharded, eps)
+        k1, k2 = jax.random.split(key)
+        eps = jax.random.normal(k1, (n_global, spec.num_probes), dtype)
+        rank = spec.precond_rank if use_pre else 1
+        if use_pre:
+            # pivoted Cholesky on (replicated) gathered X: k kernel rows
+            # of work — trivial next to the sharded CG; XLA inserts the
+            # all-gather of X once per step (X is tiny)
+            x_full = jax.lax.with_sharding_constraint(
+                x_sharded, NamedSharding(mesh, P())
+            )
+            noise = exact_gp.noise_value(jax.lax.stop_gradient(params))
+            pre = precond.build_preconditioner(
+                spec.kernel, jax.lax.stop_gradient(params["kernel"]),
+                buffers["kernel"], x_full, noise, spec.precond_rank,
+            )
+            Lfull, Cs, ld = pre.L, pre.chol_small, pre.logdet
+        else:
+            Lfull = jnp.zeros((n_global, rank), dtype)
+            Cs = jnp.eye(rank, dtype=dtype)
+            ld = jnp.zeros((), dtype)
+        eps_s = jax.random.normal(k2, (rank, spec.num_probes), dtype)
+        loss, grads = smapped(params, buffers, x_sharded, y_sharded, eps,
+                              Lfull, Cs, ld, eps_s)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

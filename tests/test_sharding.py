@@ -105,7 +105,7 @@ def test_distributed_mll_matches_exact():
     assert abs(got - want) / abs(want) < 0.05, (got, want)
 
 
-def test_distributed_train_step_runs_and_learns():
+def test_distributed_train_step_runs_and_learns_ski():
     mesh = _mesh()
     n = 128
     x, y = _data(n=n)
@@ -131,6 +131,71 @@ def test_distributed_train_step_runs_and_learns():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def test_distributed_train_step_with_preconditioner():
+    """Dense ring path + sharded Woodbury preconditioner (rank > 0)."""
+    mesh = _mesh()
+    n = 128
+    x, y = _data(n=n)
+    spec = ModelSpec(
+        kernel=KernelSpec.polynomial(J=4, d=1),
+        cg_max_iters=25, precond_rank=10, num_probes=8,
+    )
+    params, buffers = init_model(KEY, spec, 4)
+    opt = optax.adam(0.1)
+    step = sharding.make_distributed_train_step(spec, mesh, opt, n_global=n)
+
+    xs = sharding.shard_rows(x, mesh)
+    ys = sharding.shard_rows(y, mesh)
+    params = sharding.replicate(params, mesh)
+    buffers = sharding.replicate(buffers, mesh)
+    opt_state = opt.init(params)
+
+    key = jax.random.key(17)
+    losses = []
+    for _ in range(8):
+        key, k = jax.random.split(key)
+        params, opt_state, loss = step(params, buffers, opt_state, xs, ys, k)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+
+def test_distributed_mll_with_preconditioner_matches_exact():
+    """Value parity of the preconditioned distributed MLL vs dense."""
+    mesh = _mesh()
+    x, y = _data(n=128)
+    spec = ModelSpec(
+        kernel=KernelSpec.polynomial(J=4, d=1),
+        cg_max_iters=60, cg_tol=1e-8, precond_rank=10, num_probes=64,
+    )
+    params, buffers = init_model(KEY, spec, 4)
+    want = float(exact_mll(spec, params, buffers, x, y))
+
+    from rpagp.models.exact_gp import noise_value
+    from rpagp.ops import precond as precond_mod
+
+    pre = precond_mod.build_preconditioner(
+        spec.kernel, params["kernel"], buffers["kernel"], x,
+        noise_value(params), spec.precond_rank,
+    )
+    eps_b = jax.random.normal(jax.random.key(7), (128, 64))
+    eps_s = jax.random.normal(jax.random.key(8), (spec.precond_rank, 64))
+
+    f = jax.shard_map(
+        lambda p, b, xl, yl, el, Lp: sharding.distributed_mll(
+            spec, p, b, xl, yl, el,
+            pre_L_local=Lp, pre_chol_small=pre.chol_small,
+            pre_logdet=pre.logdet, eps_small=eps_s,
+        ),
+        mesh=mesh,
+        in_specs=(P(), P(), P("data"), P("data"), P("data"), P("data")),
+        out_specs=P(),
+        check_vma=False,
+    )
+    got = float(jax.jit(f)(params, buffers, x, y, eps_b, pre.L))
+    assert abs(got - want) / abs(want) < 0.05, (got, want)
 
 
 def test_distributed_gradients_match_exact_direction():
