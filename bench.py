@@ -42,6 +42,7 @@ def main():
     x = jax.random.normal(kx, (n, D), jnp.float32)
     y = jnp.sin(2.0 * x[:, 0]) + 0.1 * jax.random.normal(ky, (n,), jnp.float32)
     params, buffers = exact_gp.init_model(jax.random.key(1), spec, D)
+    buffers = exact_gp.prepare_buffers(spec, params, buffers, x)
 
     @jax.jit
     def step(params, x, y, key):

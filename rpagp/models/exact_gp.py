@@ -69,6 +69,31 @@ def init_model(key, spec: ModelSpec, D: int, dtype=jnp.float32):
     return params, buffers
 
 
+def prepare_buffers(spec: ModelSpec, params, buffers, x_train):
+    """Attach per-dataset precomputations to buffers (call once per split,
+    before jitting the training step).
+
+    Currently: the SKI interpolation geometry (grid, taps, sort plan) —
+    hyperparameter-free, so rebuilding it inside every MLL evaluation
+    wastes a (J, n) argsort + weight build per step (SURVEY.md §3.4's
+    "construction" work, hoisted out of the hot loop)."""
+    if spec.kernel.ski:
+        from ..ops import ski
+
+        # one jit'd call: eager dispatch of the dozens of geometry ops is
+        # pathologically slow on remote-compile TPU paths
+        build = jax.jit(
+            lambda kp, kb, xt: ski.build_ski(
+                spec.kernel, kp, kb, xt, spec.kernel.grid_size
+            )
+        )
+        state = jax.block_until_ready(
+            build(params["kernel"], buffers["kernel"], x_train)
+        )
+        return {**buffers, "ski_state": state}
+    return buffers
+
+
 def noise_value(params):
     return softplus(params["raw_noise"]) + NOISE_FLOOR
 

@@ -49,10 +49,17 @@ def _kernel_mvm(spec: ModelSpec, params, buffers, x1, x2, V, states=None,
     )
 
 
-def _ski_state(spec: ModelSpec, params, buffers, x, z_bounds=None):
-    """SKI geometry for x (hyperparameter-free; see ops.ski)."""
+def _ski_state(spec: ModelSpec, params, buffers, x, z_bounds=None,
+               use_cache: bool = False):
+    """SKI geometry for x (hyperparameter-free; see ops.ski).
+
+    use_cache: consume a geometry precomputed into buffers["ski_state"]
+    by models.exact_gp.prepare_buffers — skips a (J, n) argsort + weight
+    build per MLL evaluation (significant at HouseElectric scale)."""
     if not spec.kernel.ski:
         return None
+    if use_cache and buffers.get("ski_state") is not None:
+        return buffers["ski_state"]
     return ski.build_ski(
         spec.kernel, params["kernel"], buffers["kernel"], x,
         spec.kernel.grid_size, z_bounds=z_bounds,
@@ -87,7 +94,7 @@ def _make_inv_quad_logdet(spec: ModelSpec):
         n = x.shape[0]
         noise = exact_gp.noise_value(params)
         yc = y - exact_gp.mean_fn(spec, params, x)
-        state = _ski_state(spec, params, buffers, x)
+        state = _ski_state(spec, params, buffers, x, use_cache=True)
         A_mvm = _make_A_mvm(spec, params, buffers, x, noise, state=state)
 
         # probes z ~ N(0, M) built from PRE-SAMPLED normals (eps passed in
@@ -138,8 +145,9 @@ def _make_inv_quad_logdet(spec: ModelSpec):
         g_iq, g_ld = cots
         t = S.shape[1]
 
-        # SKI geometry is hyperparameter-free: rebuild outside the grad
-        state = _ski_state(spec, params, buffers, x)
+        # SKI geometry is hyperparameter-free: cached or rebuilt, never
+        # differentiated
+        state = _ski_state(spec, params, buffers, x, use_cache=True)
         sts = None if state is None else (state, state)
 
         def h(p, yy):
@@ -155,9 +163,9 @@ def _make_inv_quad_logdet(spec: ModelSpec):
             return g_iq * quad_y + g_ld * tr
 
         d_params, d_y = jax.grad(h, argnums=(0, 1))(params, y)
-        d_buffers = jax.tree.map(jnp.zeros_like, buffers)
-        return (d_params, d_buffers, jnp.zeros_like(x), d_y,
-                jnp.zeros_like(eps_small), jnp.zeros_like(eps_big))
+        # None = symbolic-zero cotangents (buffers now carry int arrays —
+        # the cached SKI plan — whose tangent type is float0, not zeros)
+        return (d_params, None, None, d_y, None, None)
 
     iql.defvjp(iql_fwd, iql_bwd)
     return iql
@@ -254,10 +262,11 @@ def iterative_posterior(
     def chunk_var(xc):
         # K(x_train, chunk) materialized blockwise via identity MVM
         if st_train is not None:
+            m_tr = st_train.bounds.shape[1]
             st_c = _ski_state(
                 spec, params, buffers, xc,
                 z_bounds=(st_train.grid_lo + 2.0 * st_train.h,
-                          st_train.grid_lo + (st_train.m - 3) * st_train.h),
+                          st_train.grid_lo + (m_tr - 3) * st_train.h),
             )
             Kc = _kernel_mvm(spec, params, buffers, x_train, xc,
                              jnp.eye(var_chunk, dtype=x_train.dtype),

@@ -64,7 +64,6 @@ class SKIState(NamedTuple):
     h: jax.Array  # (J,) grid spacing per component
     idx: jax.Array  # (J, n, 4) int32 tap indices into the grid
     w: jax.Array  # (J, n, 4) tap weights (cubic convolution)
-    m: int  # grid size (static)
     order: jax.Array  # (J, n) int32: point order sorted by base cell i0
     w_sorted: jax.Array  # (J, n, 4) tap weights in sorted order
     bounds: jax.Array  # (J, m) int32: for each cell c, number of sorted
@@ -130,7 +129,7 @@ def build_ski(spec: KernelSpec, kparams, kbuffers, x, grid_size: int,
     bounds = jax.vmap(
         lambda srt: jnp.searchsorted(srt, cells, side="right")
     )(i0_sorted).astype(jnp.int32)
-    return SKIState(grid_lo=grid_lo, h=h, idx=idx, w=w, m=m,
+    return SKIState(grid_lo=grid_lo, h=h, idx=idx, w=w,
                     order=order, w_sorted=w_sorted, bounds=bounds)
 
 
@@ -140,7 +139,9 @@ def toeplitz_columns(spec: KernelSpec, kparams, state: SKIState):
     The only lengthscale-dependent piece; re-evaluated per training step.
     """
     ls = softplus(kparams["raw_lengthscale"])  # (J,) for degree-1
-    dists = jnp.arange(state.m)[None, :] * state.h[:, None]  # (J, m)
+    m = state.bounds.shape[1]  # static grid size (from array shape, so the
+    # state can cross jit boundaries as a buffer pytree without tracing m)
+    dists = jnp.arange(m)[None, :] * state.h[:, None]  # (J, m)
     base = spec.bases[0]
     # all degree-1 bases are required uniform for the batched FFT; mixed
     # bases would need a (cheap) per-group split — not in the reference.

@@ -60,6 +60,7 @@ def run_split(exp: ExperimentSpec, split, seed: int = 0,
         return _run_split_distributed(exp, x, y, xt, yt, seed)
 
     params, buffers = exact_gp.init_model(jax.random.key(seed), spec, x.shape[1])
+    buffers = exact_gp.prepare_buffers(spec, params, buffers, x)
     n = x.shape[0]
     iterative = n > spec.max_cholesky_size or spec.kernel.ski
     if iterative:
@@ -200,6 +201,9 @@ def main(argv=None):
     ap.add_argument("--max_points", type=int, default=None)
     ap.add_argument("--distributed", action="store_true",
                     help="row-shard training over all devices (SPMD mesh)")
+    ap.add_argument("--profile", metavar="LOGDIR", default=None,
+                    help="write a jax.profiler trace of the first split "
+                         "to LOGDIR (view in TensorBoard)")
     args = ap.parse_args(argv)
 
     exp = load_spec(args.model_spec)
@@ -212,8 +216,17 @@ def main(argv=None):
         for i, split in enumerate(data_mod.kfold_splits(ds, k=args.splits, seed=args.seed)):
             if args.max_splits is not None and i >= args.max_splits:
                 break
-            m = run_split(exp, split, seed=args.seed + i,
-                          distributed=args.distributed)
+            if args.profile and i == 0 and not rows:
+                from .utils.profiling import trace
+
+                with trace(args.profile):
+                    m = run_split(exp, split, seed=args.seed + i,
+                                  distributed=args.distributed)
+                print(f"[profile] trace written to {args.profile}",
+                      file=sys.stderr)
+            else:
+                m = run_split(exp, split, seed=args.seed + i,
+                              distributed=args.distributed)
             row = {
                 "dataset": ds_name,
                 "split": i,

@@ -38,7 +38,8 @@ def test_interp_weights_partition_of_unity():
     spec, kp, kb, x = _setup()
     st = ski.build_ski(spec, kp, kb, x, spec.grid_size)
     np.testing.assert_allclose(np.asarray(st.w.sum(-1)), 1.0, atol=1e-5)
-    assert st.idx.min() >= 0 and st.idx.max() < st.m
+    m = st.bounds.shape[1]
+    assert st.idx.min() >= 0 and st.idx.max() < m
 
 
 def test_interpolation_reconstructs_smooth_function():
@@ -47,7 +48,8 @@ def test_interpolation_reconstructs_smooth_function():
     spec, kp, kb, x = _setup(m=128)
     st = ski.build_ski(spec, kp, kb, x, 128)
     z = ski.project(spec, kp, kb, x)  # (J, n)
-    grid = st.grid_lo[:, None] + st.h[:, None] * jnp.arange(st.m)[None, :]
+    m = st.bounds.shape[1]
+    grid = st.grid_lo[:, None] + st.h[:, None] * jnp.arange(m)[None, :]
     f = lambda v: jnp.sin(2.0 * v)
     G = f(grid)[:, :, None]  # (J, m, 1)
     got = np.asarray(ski.interp_apply(st, G))[:, :, 0]
