@@ -45,23 +45,26 @@ def main():
     buffers = exact_gp.prepare_buffers(spec, params, buffers, x)
 
     @jax.jit
-    def step(params, x, y, key):
+    def step(params, buffers, x, y, key):
+        # buffers/x/y are ARGS, not closures: closure constants embed the
+        # multi-GB SKI geometry into the compiled module (see train.make_step)
         return jax.value_and_grad(
             lambda p: -iterative.iterative_mll(spec, p, buffers, x, y, key)
             / x.shape[0]
         )(params)
 
     key = jax.random.key(2)
-    # warmup / compile
-    loss, grads = step(params, x, y, key)
-    jax.block_until_ready((loss, grads))
+    # warmup / compile (float() forces a host transfer: on the axon
+    # plugin block_until_ready can return before device work completes)
+    loss, grads = step(params, buffers, x, y, key)
+    _ = float(loss)
 
     iters = int(os.environ.get("RPAGP_BENCH_ITERS", 10))
     t0 = time.perf_counter()
     for i in range(iters):
         key, k = jax.random.split(key)
-        loss, grads = step(params, x, y, k)
-    jax.block_until_ready((loss, grads))
+        loss, grads = step(params, buffers, x, y, k)
+        _ = float(loss)  # force completion: see warmup note
     dt = (time.perf_counter() - t0) / iters
 
     print(

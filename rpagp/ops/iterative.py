@@ -58,7 +58,9 @@ def _ski_state(spec: ModelSpec, params, buffers, x, z_bounds=None,
     build per MLL evaluation (significant at HouseElectric scale)."""
     if not spec.kernel.ski:
         return None
-    if use_cache and buffers.get("ski_state") is not None:
+    import os
+    if (use_cache and buffers.get("ski_state") is not None
+            and os.environ.get("RPAGP_NO_SKI_CACHE", "0") != "1"):
         return buffers["ski_state"]
     return ski.build_ski(
         spec.kernel, params["kernel"], buffers["kernel"], x,

@@ -66,10 +66,10 @@ def run_split(exp: ExperimentSpec, split, seed: int = 0,
     if iterative:
         # stochastic MLL: resample probe vectors every step (reference
         # behavior); train loop smooths patience with an EMA
-        loss_fn = lambda p, k: -mll_mod.mll(spec, p, buffers, x, y, key=k) / n
+        loss_fn = lambda p, b, xx, yy, k: -mll_mod.mll(spec, p, b, xx, yy, key=k) / n
         key = jax.random.key(seed + 1)
     else:
-        loss_fn = lambda p: -mll_mod.mll(spec, p, buffers, x, y) / n
+        loss_fn = lambda p, b, xx, yy: -mll_mod.mll(spec, p, b, xx, yy) / n
         key = None
 
     t0 = time.perf_counter()
@@ -81,6 +81,7 @@ def run_split(exp: ExperimentSpec, split, seed: int = 0,
         patience=exp.train.patience,
         rel_tol=exp.train.rel_tol,
         key=key,
+        loss_args=(buffers, x, y),
     )
     train_time = time.perf_counter() - t0
 

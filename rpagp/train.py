@@ -36,15 +36,24 @@ class TrainResult:
 
 
 def make_step(loss_fn: Callable, optimizer, with_key: bool = False) -> Callable:
-    """Build the jit'd (params, opt_state[, key]) -> (params, opt_state,
-    loss) step. with_key: loss_fn(params, key) — for stochastic MLLs whose
-    probe vectors resample every step (the reference's behavior)."""
+    """Build the jit'd (params, opt_state, *loss_args[, key]) ->
+    (params, opt_state, loss) step.
+
+    loss_args (data, buffers, cached geometry, ...) are TRACED ARGUMENTS,
+    not closure constants: closed-over arrays are embedded into the
+    compiled module as inline constants, which at large n means
+    multi-GB MLIR payloads (observed: remote-compile HTTP 413 / half-hour
+    compiles at HouseElectric scale).
+
+    with_key: loss_fn(params, *loss_args, key) — for stochastic MLLs
+    whose probe vectors resample every step (the reference's behavior)."""
 
     if with_key:
 
         @jax.jit
-        def step(params, opt_state, key):
-            loss, grads = jax.value_and_grad(loss_fn)(params, key)
+        def step(params, opt_state, *rest):
+            *args, key = rest
+            loss, grads = jax.value_and_grad(loss_fn)(params, *args, key)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
@@ -52,8 +61,8 @@ def make_step(loss_fn: Callable, optimizer, with_key: bool = False) -> Callable:
         return step
 
     @jax.jit
-    def step(params, opt_state):
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+    def step(params, opt_state, *args):
+        loss, grads = jax.value_and_grad(loss_fn)(params, *args)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -71,6 +80,7 @@ def train_to_convergence(
     verbose: bool = False,
     optimizer=None,
     key=None,
+    loss_args=(),
 ) -> TrainResult:
     """Adam to convergence with patience stopping on the best loss seen.
 
@@ -78,9 +88,12 @@ def train_to_convergence(
     loss has not improved by `rel_tol` for `patience` consecutive steps, or
     at `max_iters`.
 
-    key: when given, loss_fn must be loss_fn(params, key) and receives a
-    fresh subkey every step (stochastic MLL probe resampling, as the
-    reference does); patience then runs on an EMA of the noisy loss.
+    key: when given, loss_fn must be loss_fn(params, *loss_args, key) and
+    receives a fresh subkey every step (stochastic MLL probe resampling,
+    as the reference does); patience then runs on an EMA of the noisy
+    loss.
+    loss_args: extra traced arguments (data, buffers) — pass large arrays
+    HERE rather than closing over them (see make_step).
     """
     optimizer = optimizer or optax.adam(lr)
     opt_state = optimizer.init(params)
@@ -98,9 +111,9 @@ def train_to_convergence(
     for i in range(max_iters):
         if stochastic:
             key, sub = jax.random.split(key)
-            params, opt_state, loss = step(params, opt_state, sub)
+            params, opt_state, loss = step(params, opt_state, *loss_args, sub)
         else:
-            params, opt_state, loss = step(params, opt_state)
+            params, opt_state, loss = step(params, opt_state, *loss_args)
         loss = float(loss)
         losses.append(loss)
         if verbose and i % 50 == 0:

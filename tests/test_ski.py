@@ -27,19 +27,20 @@ def test_sym_toeplitz_matmul_vs_dense():
     col = jnp.exp(-0.1 * jnp.arange(m, dtype=jnp.float32))[None, :] * (
         1.0 + 0.3 * jnp.arange(1, J + 1, dtype=jnp.float32)[:, None]
     )
-    U = jax.random.normal(jax.random.key(1), (J, m, t))
+    U = jax.random.normal(jax.random.key(1), (J, t, m))
     got = np.asarray(ski.sym_toeplitz_matmul(col, U))
     for j in range(J):
         T = scipy.linalg.toeplitz(np.asarray(col[j]))
-        np.testing.assert_allclose(got[j], T @ np.asarray(U[j]), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(got[j], (T @ np.asarray(U[j]).T).T,
+                                   rtol=1e-4, atol=1e-4)
 
 
 def test_interp_weights_partition_of_unity():
     spec, kp, kb, x = _setup()
     st = ski.build_ski(spec, kp, kb, x, spec.grid_size)
-    np.testing.assert_allclose(np.asarray(st.w.sum(-1)), 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st.w4.sum(0)), 1.0, atol=1e-5)
     m = st.bounds.shape[1]
-    assert st.idx.min() >= 0 and st.idx.max() < m
+    assert st.i0.min() >= 1 and st.i0.max() <= m - 3
 
 
 def test_interpolation_reconstructs_smooth_function():
@@ -51,8 +52,8 @@ def test_interpolation_reconstructs_smooth_function():
     m = st.bounds.shape[1]
     grid = st.grid_lo[:, None] + st.h[:, None] * jnp.arange(m)[None, :]
     f = lambda v: jnp.sin(2.0 * v)
-    G = f(grid)[:, :, None]  # (J, m, 1)
-    got = np.asarray(ski.interp_apply(st, G))[:, :, 0]
+    G = f(grid)[:, None, :]  # (J, 1, m)
+    got = np.asarray(ski.interp_apply(st, G))[:, 0, :]
     np.testing.assert_allclose(got, np.asarray(f(z)), atol=2e-3)
 
 
