@@ -141,6 +141,70 @@ def train_to_convergence(
     )
 
 
+def train_with_checkpointing(
+    loss_fn: Callable,
+    params,
+    checkpoint_dir: str,
+    lr: float = 0.1,
+    max_iters: int = 1000,
+    checkpoint_every: int = 100,
+    keep: int = 3,
+    key=None,
+    loss_args=(),
+    resume: bool = True,
+) -> TrainResult:
+    """Adam with periodic checkpoint/resume (the aux subsystem the
+    reference lacks — SURVEY.md §5 'checkpoint/resume'). Resumes from the
+    latest checkpoint in `checkpoint_dir` when present; checkpoints carry
+    params, optimizer state, PRNG key, and step counter."""
+    import jax.numpy as _jnp
+
+    from .utils.checkpoint import Checkpointer, load_checkpoint
+
+    optimizer = optax.adam(lr)
+    opt_state = optimizer.init(params)
+    stochastic = key is not None
+    state = {
+        "params": params,
+        "opt_state": opt_state,
+        "key": key if stochastic else jax.random.key(0),
+        "step": _jnp.asarray(0),
+    }
+    cp = Checkpointer(checkpoint_dir, every=checkpoint_every, keep=keep)
+    start = 0
+    if resume:
+        latest = cp.latest()
+        if latest is not None:
+            state = load_checkpoint(latest, state)
+            start = int(state["step"])
+    params, opt_state, key = state["params"], state["opt_state"], state["key"]
+
+    step = make_step(loss_fn, optimizer, with_key=stochastic)
+    losses = []
+    t0 = time.perf_counter()
+    i = start
+    for i in range(start, max_iters):
+        if stochastic:
+            key, sub = jax.random.split(key)
+            params, opt_state, loss = step(params, opt_state, *loss_args, sub)
+        else:
+            params, opt_state, loss = step(params, opt_state, *loss_args)
+        losses.append(float(loss))
+        cp.maybe_save(i + 1, {
+            "params": params,
+            "opt_state": opt_state,
+            "key": key if stochastic else jax.random.key(0),
+            "step": _jnp.asarray(i + 1),
+        })
+    return TrainResult(
+        params=params,
+        losses=losses,
+        iterations=i + 1 - start,
+        converged=False,
+        wall_time_s=time.perf_counter() - t0,
+    )
+
+
 def train_fixed(
     loss_fn: Callable,
     params,
