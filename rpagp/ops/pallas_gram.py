@@ -51,6 +51,23 @@ def _k1d_tile(base: str, diff):
     raise ValueError(base)
 
 
+def _k1d_grad_tile(base: str, diff):
+    """d k1d(d) / d d on a difference tile (signed derivative)."""
+    if base == "rbf":
+        return -diff * jnp.exp(-0.5 * diff * diff)
+    a = jnp.abs(diff)
+    sgn = jnp.sign(diff)
+    if base == "matern12":
+        return -sgn * jnp.exp(-a)
+    if base == "matern32":
+        s = _SQRT3 * a
+        return -sgn * _SQRT3 * s * jnp.exp(-s)
+    if base == "matern52":
+        s = _SQRT5 * a
+        return -sgn * _SQRT5 * (s + s * s) / 3.0 * jnp.exp(-s)
+    raise ValueError(base)
+
+
 def _gram_mvm_kernel(base: str, J: int, z1_ref, z2_ref, w_ref, v_ref,
                      out_ref, ksum_ref):
     """One (i, l) tile: build the additive Gram tile in VMEM, contract."""
@@ -75,28 +92,24 @@ def _gram_mvm_kernel(base: str, J: int, z1_ref, z2_ref, w_ref, v_ref,
         out_ref[:] = out_ref[:] + contrib
 
 
-@functools.partial(jax.jit, static_argnames=("base", "interpret"))
-def projected_gram_mvm(z1, z2, w, V, base: str = "rbf",
-                       interpret: bool = False):
-    """out = K V for the degree-1 additive projected kernel.
+def _pad(a, mult, axis):
+    p = (-a.shape[axis]) % mult
+    if p == 0:
+        return a
+    widths = [(0, 0)] * a.ndim
+    widths[axis] = (0, p)
+    return jnp.pad(a, widths)
 
-    z1: (n, J) lengthscale-scaled projected rows; z2: (m, J) columns;
-    w: (J,) component weights (outputscale/J folded in); V: (m, t).
-    """
+
+@functools.partial(jax.jit, static_argnames=("base", "interpret"))
+def _gram_mvm_fwd_call(z1, z2, w, V, base: str, interpret: bool):
+    """out = K V (forward Pallas call; padding handled here)."""
     n, J = z1.shape
     m, t = V.shape[0], V.shape[1]
 
-    def pad(a, mult, axis):
-        p = (-a.shape[axis]) % mult
-        if p == 0:
-            return a
-        widths = [(0, 0)] * a.ndim
-        widths[axis] = (0, p)
-        return jnp.pad(a, widths)
-
-    z1p = pad(z1, TILE_I, 0)
-    z2p = pad(z2, TILE_L, 0)
-    Vp = pad(pad(V, TILE_L, 0), 128, 1)  # lane-pad t for clean MXU tiles
+    z1p = _pad(z1, TILE_I, 0)
+    z2p = _pad(z2, TILE_L, 0)
+    Vp = _pad(_pad(V, TILE_L, 0), 128, 1)  # lane-pad t for clean MXU tiles
     np_, mp_, tp_ = z1p.shape[0], z2p.shape[0], Vp.shape[1]
     # pad rows of z2 produce garbage kernel values but multiply V's zero
     # pad rows — contributions vanish exactly.
@@ -129,6 +142,144 @@ def projected_gram_mvm(z1, z2, w, V, base: str = "rbf",
         interpret=interpret,
     )(z1p, z2p, w.reshape(1, J), Vp)
     return out[:n, :t]
+
+
+def _gram_mvm_bwd_kernel(base: str, J: int,
+                         z1_ref, z2_ref, w_ref, v_ref, g_ref,
+                         dz_ref, dw_ref, gmat_ref):
+    """One (i, l) tile of the backward pass.
+
+    Gm = Ĝ V^T on the tile (MXU), then per component j:
+      dw_j  += sum(Gm * k_j(d))           (accumulated over the grid)
+      dz1_j += w_j * rowsum(Gm * k'_j(d)) (accumulated over l)
+    with d = z1_i - z2_l. The same kernel yields dz2 when called with
+    both the coordinate sides (z1<->z2) AND the value sides (V<->Ĝ)
+    swapped: Gm transposes and k' is odd (k even), so the swapped
+    rowsum equals -w_j sum_i Gm_il k'_j(d_il) = dz2 exactly.
+    """
+    i = pl.program_id(0)
+    l = pl.program_id(1)
+
+    gmat_ref[:] = jnp.dot(
+        g_ref[:], v_ref[:].T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (TI, TL)
+
+    # build whole (TI, J) / (1, J) tiles in registers, then one vector
+    # store each — Mosaic cannot store scalars/columns into VMEM refs
+    G = gmat_ref[:]
+    dz_cols = []
+    dw_vals = []
+    for j in range(J):
+        d = z1_ref[:, j][:, None] - z2_ref[:, j][None, :]  # (TI, TL)
+        dw_vals.append(jnp.sum(G * _k1d_tile(base, d), keepdims=True))
+        dz_cols.append(
+            w_ref[0, j] * jnp.sum(G * _k1d_grad_tile(base, d), axis=1,
+                                  keepdims=True)
+        )
+    dz_tile = jnp.concatenate(dz_cols, axis=1)  # (TI, J)
+    dw_tile = jnp.concatenate(dw_vals).reshape(1, J)  # (1, J)
+
+    @pl.when(l == 0)
+    def _():
+        dz_ref[:] = dz_tile
+
+    @pl.when(l > 0)
+    def _():
+        dz_ref[:] = dz_ref[:] + dz_tile
+
+    @pl.when(jnp.logical_and(i == 0, l == 0))
+    def _():
+        dw_ref[:] = dw_tile
+
+    @pl.when(jnp.logical_or(i > 0, l > 0))
+    def _():
+        dw_ref[:] = dw_ref[:] + dw_tile
+
+
+@functools.partial(jax.jit, static_argnames=("base", "interpret"))
+def _gram_mvm_bwd_call(z1, z2, w, V, G_bar, base: str, interpret: bool):
+    """(dz1, dw) for out = K V given cotangent G_bar (see kernel doc)."""
+    n, J = z1.shape
+    z1p = _pad(z1, TILE_I, 0)
+    z2p = _pad(z2, TILE_L, 0)
+    Vp = _pad(_pad(V, TILE_L, 0), 128, 1)
+    Gp = _pad(_pad(G_bar, TILE_I, 0), 128, 1)
+    np_, mp_, tp_ = z1p.shape[0], z2p.shape[0], Vp.shape[1]
+
+    grid = (np_ // TILE_I, mp_ // TILE_L)
+    kernel = functools.partial(_gram_mvm_bwd_kernel, base, J)
+
+    dz, dw = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_I, J), lambda i, l: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_L, J), lambda i, l: (l, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, J), lambda i, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_L, tp_), lambda i, l: (l, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_I, tp_), lambda i, l: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TILE_I, J), lambda i, l: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, J), lambda i, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((np_, J), jnp.float32),
+            jax.ShapeDtypeStruct((1, J), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((TILE_I, TILE_L), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * np_ * mp_ * (2 * J + tp_),
+            bytes_accessed=4 * (np_ * J + mp_ * J + mp_ * tp_ + np_ * tp_),
+            transcendentals=2 * np_ * mp_ * J,
+        ),
+        interpret=interpret,
+    )(z1p, z2p, w.reshape(1, J), Vp, Gp)
+    return dz[:n], dw[0]
+
+
+@functools.lru_cache(maxsize=None)
+def _make_pgm(base: str, interpret: bool):
+    """custom_vjp'd projected Gram MVM for a given (base, interpret)."""
+
+    @jax.custom_vjp
+    def pgm(z1, z2, w, V):
+        return _gram_mvm_fwd_call(z1, z2, w, V, base, interpret)
+
+    def fwd(z1, z2, w, V):
+        return pgm(z1, z2, w, V), (z1, z2, w, V)
+
+    def bwd(res, G_bar):
+        z1, z2, w, V = res
+        # dV = K^T G_bar — the same fused forward kernel, sides swapped
+        dV = _gram_mvm_fwd_call(z2, z1, w, G_bar, base, interpret)
+        dz1, dw = _gram_mvm_bwd_call(z1, z2, w, V, G_bar, base, interpret)
+        # dz2: swap coordinates AND values (see kernel doc); its dw output
+        # equals the first pass's (k is even) and is discarded
+        dz2, _ = _gram_mvm_bwd_call(z2, z1, w, G_bar, V, base, interpret)
+        return dz1, dz2, dw, dV
+
+    pgm.defvjp(fwd, bwd)
+    return pgm
+
+
+def projected_gram_mvm(z1, z2, w, V, base: str = "rbf",
+                       interpret: bool = False):
+    """out = K V for the degree-1 additive projected kernel, with a full
+    Pallas backward (dz1, dz2, dw, dV) — usable in differentiated code.
+
+    z1: (n, J) lengthscale-scaled projected rows; z2: (m, J) columns;
+    w: (J,) component weights (outputscale/J folded in); V: (m, t).
+    """
+    return _make_pgm(base, bool(interpret))(z1, z2, w, V)
 
 
 def supports(spec) -> bool:

@@ -44,3 +44,39 @@ def test_supports_predicate():
     assert not pallas_gram.supports(
         KernelSpec.generalized(degrees=(1, 1), bases=("rbf", "matern32"))
     )
+
+
+@pytest.mark.parametrize("base", ["rbf", "matern32"])
+def test_pallas_gram_mvm_gradients_match_dense(base):
+    """custom_vjp backward kernels (dz1, dz2, dw, dV) vs autodiff of the
+    dense oracle."""
+    n, m, t, J, D = 33, 45, 3, 4, 5
+    z1 = jax.random.normal(jax.random.key(1), (n, J))
+    z2 = jax.random.normal(jax.random.key(2), (m, J))
+    w = jax.nn.softplus(jax.random.normal(jax.random.key(3), (J,)))
+    V = jax.random.normal(jax.random.key(4), (m, t))
+
+    def dense(z1, z2, w, V):
+        d = z1[:, None, :] - z2[None, :, :]  # (n, m, J)
+        if base == "rbf":
+            k = jnp.exp(-0.5 * d * d)
+        else:
+            s = jnp.sqrt(3.0) * jnp.abs(d)
+            k = (1 + s) * jnp.exp(-s)
+        K = jnp.einsum("j,nmj->nm", w, k)
+        return K @ V
+
+    def loss_p(f):
+        return lambda *a: jnp.sum(jnp.sin(f(*a)))
+
+    g_dense = jax.grad(loss_p(dense), argnums=(0, 1, 2, 3))(z1, z2, w, V)
+    g_pl = jax.grad(
+        loss_p(lambda *a: pallas_gram.projected_gram_mvm(
+            *a, base=base, interpret=True)),
+        argnums=(0, 1, 2, 3),
+    )(z1, z2, w, V)
+    for a, b, name in zip(g_pl, g_dense, ["dz1", "dz2", "dw", "dV"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5,
+            err_msg=name,
+        )
