@@ -59,7 +59,7 @@ def main():
     loss, grads = step(params, buffers, x, y, key)
     _ = float(loss)
 
-    iters = int(os.environ.get("RPAGP_BENCH_ITERS", 10))
+    iters = int(os.environ.get("RPAGP_BENCH_ITERS", 5))
     t0 = time.perf_counter()
     for i in range(iters):
         key, k = jax.random.split(key)
