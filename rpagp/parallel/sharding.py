@@ -136,10 +136,54 @@ def _global_z_bounds(kspec, kparams, kbuffers, x_local, axis: str = AXIS):
     return lo, hi
 
 
+COMP_AXIS = "comp"
+
+
+def _slice_components(spec: ModelSpec, params, buffers, comp_axis: str):
+    """Per-device component shard: slice the J-indexed kernel params and
+    the projection columns by this device's position on the comp axis.
+    Returns (spec_local, params_local, buffers_local, J_local).
+
+    dynamic_slice is differentiable — its transpose scatters the local
+    slice's gradient back into a zero-padded full vector, so a psum over
+    the comp axis reassembles exact full-parameter gradients."""
+    kspec = spec.kernel
+    csize = jax.lax.axis_size(comp_axis)
+    cidx = jax.lax.axis_index(comp_axis)
+    assert kspec.J % csize == 0, "J must divide the comp axis"
+    assert all(d == 1 for d in kspec.degrees), "comp sharding: degree-1 only"
+    Jl = kspec.J // csize
+    kspec_l = kspec.__class__(
+        **{**kspec.__dict__, "J": Jl, "degrees": (1,) * Jl,
+           "bases": (kspec.bases[0],) * Jl}
+    )
+    kp = dict(params["kernel"])
+    kp["raw_lengthscale"] = jax.lax.dynamic_slice_in_dim(
+        kp["raw_lengthscale"], cidx * Jl, Jl
+    )
+    if kspec.per_component_scale:
+        kp["raw_outputscale"] = jax.lax.dynamic_slice_in_dim(
+            kp["raw_outputscale"], cidx * Jl, Jl
+        )
+    kb = dict(buffers["kernel"])
+    if "proj" in kp:
+        kp["proj"] = jax.lax.dynamic_slice_in_dim(kp["proj"], cidx * Jl, Jl,
+                                                  axis=1)
+    elif "proj" in kb:
+        kb["proj"] = jax.lax.dynamic_slice_in_dim(kb["proj"], cidx * Jl, Jl,
+                                                  axis=1)
+    params_l = {**params, "kernel": kp}
+    buffers_l = {**buffers, "kernel": kb}
+    # shared-outputscale models divide sigma^2/J across ALL J components;
+    # the local spec must keep the GLOBAL J in its scale normalization —
+    # handled by scaling weights post-hoc in the mvm closures below.
+    return kspec_l, params_l, buffers_l, Jl
+
+
 def distributed_mll(spec: ModelSpec, params, buffers, x_local, y_local,
                     eps_big_local, axis: str = AXIS, pre_L_local=None,
                     pre_chol_small=None, pre_logdet=None,
-                    eps_small=None):
+                    eps_small=None, comp_axis=None):
     """Marginal log-likelihood on row-sharded data. Runs INSIDE shard_map.
 
     The SPMD mirror of ops.iterative's forward: batched PCG where the MVM
@@ -158,7 +202,6 @@ def distributed_mll(spec: ModelSpec, params, buffers, x_local, y_local,
     k*t floats over ICI, negligible. eps_small: (k, t) replicated probe
     normals so probes carry N(0, M). Omit all four for M = noise*I.
     """
-    kspec, kp, kb = spec.kernel, params["kernel"], buffers["kernel"]
     noise = exact_gp.noise_value(params)
     nsg = jax.lax.stop_gradient(noise)
     n_local = x_local.shape[0]
@@ -168,16 +211,40 @@ def distributed_mll(spec: ModelSpec, params, buffers, x_local, y_local,
     yc = y_local - params.get("mean_const", jnp.zeros((), x_local.dtype))
     has_pre = pre_L_local is not None
 
+    # component (J) sharding — the TP/EP analog: each comp-axis position
+    # owns J/csize components; the kernel MVM's final sum over components
+    # becomes one psum over the comp axis. Everything outside the MVM is
+    # comp-replicated (reductions stay data-axis-only).
+    if comp_axis is not None:
+        kspec, params_l, buffers_l, Jl = _slice_components(
+            spec, params, buffers, comp_axis
+        )
+        csize = jax.lax.axis_size(comp_axis)
+        # component weights normalize by the LOCAL J inside the sliced
+        # spec; rescale to the global 1/J (both shared and per-component)
+        w_fix = 1.0 / csize
+        comp_psum = lambda v: jax.lax.psum(v, comp_axis)
+    else:
+        kspec = spec.kernel
+        params_l, buffers_l = params, buffers
+        w_fix = 1.0
+        comp_psum = lambda v: v
+    kp, kb = params_l["kernel"], buffers_l["kernel"]
+
     if kspec.ski:
         bounds = _global_z_bounds(kspec, jax.lax.stop_gradient(kp), kb, x_local, axis)
         state = ski.build_ski(kspec, jax.lax.stop_gradient(kp), kb, x_local,
                               kspec.grid_size, z_bounds=bounds)
-        kmvm = lambda p, V: sharded_ski_mvm(kspec, p["kernel"], state, V, axis)
+        kmvm = lambda p, V: comp_psum(
+            w_fix * sharded_ski_mvm(kspec, p["kernel"], state, V, axis)
+        )
     else:
-        kmvm = lambda p, V: ring_mvm(kspec, p["kernel"], kb, x_local, V, axis)
+        kmvm = lambda p, V: comp_psum(
+            w_fix * ring_mvm(kspec, p["kernel"], kb, x_local, V, axis)
+        )
 
     def A_mvm_sg(V):  # value path (stop-grad params), used inside CG
-        psg = jax.lax.stop_gradient(params)
+        psg = jax.lax.stop_gradient(params_l)
         return kmvm(psg, V) + nsg * V
 
     # ---- preconditioner apply + probes (Woodbury; k-dim psum) ----
@@ -244,11 +311,11 @@ def distributed_mll(spec: ModelSpec, params, buffers, x_local, y_local,
 
     # ---- differentiable heads (quadratic forms; grads are the probe
     #      trace estimator, matching ops.iterative's custom_vjp) ----
-    Ay = kmvm(params, alpha_vec[:, None])[:, 0] + noise * alpha_vec
+    Ay = kmvm(params_l, alpha_vec[:, None])[:, 0] + noise * alpha_vec
     inv_quad = jax.lax.psum(
         2.0 * jnp.sum(alpha_vec * yc) - jnp.sum(alpha_vec * Ay), axis
     )
-    AS = kmvm(params, MZ) + noise * MZ
+    AS = kmvm(params_l, MZ) + noise * MZ
     t = S.shape[1]
     surr_tr = jax.lax.psum(jnp.sum(S * AS), axis) / t  # grad == d logdet
 
@@ -274,6 +341,7 @@ def make_distributed_train_step(spec: ModelSpec, mesh: Mesh, optimizer,
     import optax
 
     ndev = mesh.devices.size
+    comp_axis = COMP_AXIS if COMP_AXIS in mesh.axis_names else None
 
     use_pre = spec.precond_rank > 0 and not spec.kernel.ski
 
@@ -286,6 +354,7 @@ def make_distributed_train_step(spec: ModelSpec, mesh: Mesh, optimizer,
                 pre_chol_small=Cs if use_pre else None,
                 pre_logdet=ld if use_pre else None,
                 eps_small=eps_s if use_pre else None,
+                comp_axis=comp_axis,
             )
             / n_global
         )
@@ -295,13 +364,21 @@ def make_distributed_train_step(spec: ModelSpec, mesh: Mesh, optimizer,
         # each device holds only its shard's contribution to d loss/d params
         # (replicated params, sharded compute) — sum partials over ICI
         g = jax.lax.psum(g, AXIS)
+        if comp_axis is not None:
+            # pmean over comp for EVERY param: psum's transpose re-psums
+            # the (comp-replicated) cotangent, so each shard's slice grad
+            # is already csize x its true value — the comp-psum of the
+            # zero-padded slices therefore needs /csize (pmean), and the
+            # comp-replicated shared params (noise, mean) need the same
+            g = jax.lax.pmean(g, comp_axis)
         return loss, g
 
+    in_axis = P(AXIS)  # data-sharded, comp-replicated (if comp exists)
     smapped = jax.shard_map(
         value_and_summed_grad,
         mesh=mesh,
-        in_specs=(P(), P(), P(AXIS), P(AXIS), P(AXIS),
-                  P(AXIS), P(), P(), P()),
+        in_specs=(P(), P(), in_axis, in_axis, in_axis,
+                  in_axis, P(), P(), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )

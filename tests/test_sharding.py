@@ -229,3 +229,92 @@ def test_distributed_gradients_match_exact_direction():
     gi = np.asarray(gi, np.float64)
     cos = ge @ gi / (np.linalg.norm(ge) * np.linalg.norm(gi))
     assert cos > 0.99, cos
+
+
+def test_component_sharded_mll_and_grads_match_exact():
+    """2-D mesh (data x comp): DP + the TP/EP analog. Value parity vs the
+    dense oracle and gradient parity vs the exact gradient direction."""
+    cpus = _cpus()
+    mesh = sharding.make_mesh.__wrapped__(cpus[:8]) if hasattr(
+        sharding.make_mesh, "__wrapped__") else None
+    import numpy as _np
+    from jax.sharding import Mesh
+
+    mesh = Mesh(_np.asarray(cpus[:8]).reshape(4, 2), axis_names=("data", "comp"))
+    x, y = _data(n=128)
+    spec = ModelSpec(
+        kernel=KernelSpec.polynomial(J=4, d=1),
+        cg_max_iters=60, cg_tol=1e-8, precond_rank=0, num_probes=64,
+    )
+    params, buffers = init_model(KEY, spec, 4)
+    want = float(exact_mll(spec, params, buffers, x, y))
+
+    eps = jax.random.normal(jax.random.key(7), (128, 64))
+    f = jax.shard_map(
+        lambda p, b, xl, yl, el: sharding.distributed_mll(
+            spec, p, b, xl, yl, el, comp_axis="comp"),
+        mesh=mesh,
+        in_specs=(P(), P(), P("data"), P("data"), P("data")),
+        out_specs=P(),
+        check_vma=False,
+    )
+    got = float(jax.jit(f)(params, buffers, x, y, eps))
+    assert abs(got - want) / abs(want) < 0.05, (got, want)
+
+    # full train-step grads through the comp-aware assembly
+    import optax
+
+    opt = optax.adam(0.1)
+    step = sharding.make_distributed_train_step(spec, mesh, opt, n_global=128)
+    xs = sharding.shard_rows(x, mesh)
+    ys = sharding.shard_rows(y, mesh)
+    pr = sharding.replicate(params, mesh)
+    br = sharding.replicate(buffers, mesh)
+    st = opt.init(pr)
+    losses = []
+    key = jax.random.key(23)
+    for _ in range(6):
+        key, k = jax.random.split(key)
+        pr, st, loss = step(pr, br, st, xs, ys, k)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+
+def test_component_sharded_gradient_direction():
+    import numpy as _np
+    from jax.sharding import Mesh
+
+    cpus = _cpus()
+    mesh = Mesh(_np.asarray(cpus[:8]).reshape(2, 4), axis_names=("data", "comp"))
+    x, y = _data(n=128)
+    spec = ModelSpec(
+        kernel=KernelSpec.polynomial(J=8, d=1, per_component_scale=True),
+        cg_max_iters=60, cg_tol=1e-8, precond_rank=0, num_probes=64,
+    )
+    params, buffers = init_model(KEY, spec, 4)
+    ge, _ = jax.flatten_util.ravel_pytree(
+        jax.grad(lambda p: exact_mll(spec, p, buffers, x, y))(params)
+    )
+    ge = np.asarray(ge, np.float64)
+
+    def loss(p, b, xl, yl, el):
+        return sharding.distributed_mll(spec, p, b, xl, yl, el,
+                                        comp_axis="comp")
+
+    def vg(p, b, xl, yl, el):
+        g = jax.grad(loss)(p, b, xl, yl, el)
+        g = jax.lax.psum(g, "data")
+        # pmean: psum-transpose already multiplies slice grads by csize
+        return jax.lax.pmean(g, "comp")
+
+    f = jax.shard_map(
+        vg, mesh=mesh,
+        in_specs=(P(), P(), P("data"), P("data"), P("data")),
+        out_specs=P(), check_vma=False,
+    )
+    eps = jax.random.normal(jax.random.key(13), (128, 64))
+    gi, _ = jax.flatten_util.ravel_pytree(jax.jit(f)(params, buffers, x, y, eps))
+    gi = np.asarray(gi, np.float64)
+    cos = ge @ gi / (np.linalg.norm(ge) * np.linalg.norm(gi))
+    assert cos > 0.99, cos
