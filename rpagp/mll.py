@@ -16,7 +16,6 @@ control flow enters the compiled program.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from .models import exact_gp
 from .models.exact_gp import ModelSpec

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from ..ops import kernels
 from ..ops.exact import LOG_2PI
 from ..utils.transforms import softplus
-from .exact_gp import ModelSpec, NOISE_FLOOR, mean_fn, noise_value
+from .exact_gp import ModelSpec, mean_fn, noise_value
 
 _HI = jax.lax.Precision.HIGHEST
 

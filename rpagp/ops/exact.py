@@ -16,7 +16,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..utils.transforms import softplus
 
 LOG_2PI = 1.8378770664093453
 

@@ -16,7 +16,6 @@ tridiagonal eigensolver.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

@@ -33,8 +33,6 @@ where GSPMD auto-inserts the (cheap, vector-sized) psums for dot products.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

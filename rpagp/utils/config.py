@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Optional
 
 from ..models.exact_gp import ModelSpec
 from ..ops.kernels import KernelSpec

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Iterator, Tuple
+from typing import Iterator
 
 import numpy as np
 
