@@ -36,7 +36,8 @@ def main():
     D = 11
     from __graft_entry__ import _flagship_spec
 
-    spec = _flagship_spec(grid_size=4096, cg_iters=20, probes=8, J=20)
+    probes = int(os.environ.get("RPAGP_BENCH_PROBES", 8))
+    spec = _flagship_spec(grid_size=4096, cg_iters=20, probes=probes, J=20)
 
     kx, ky = jax.random.split(jax.random.key(0))
     x = jax.random.normal(kx, (n, D), jnp.float32)
