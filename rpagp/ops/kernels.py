@@ -74,6 +74,12 @@ class KernelSpec:
     J: int = 0
     degrees: Tuple[int, ...] = ()
     bases: Tuple[str, ...] = ()
+    # sub_dim = the reference's `k`: each sub-kernel sees a k-dim
+    # projection. For RBF, an isotropic k-dim sub-kernel factors EXACTLY
+    # into k 1-D factors sharing one lengthscale — implemented as that
+    # tied product (for Matern bases the tied product is a modeling
+    # choice, not the k-dim Matern; the reference's experiments use RBF).
+    sub_dim: int = 1
     proj_dist: str = "gaussian"
     learn_proj: bool = False
     per_component_scale: bool = False
@@ -87,13 +93,20 @@ class KernelSpec:
 
     @property
     def total_proj_dims(self) -> int:
+        return int(sum(self.degrees)) * self.sub_dim
+
+    @property
+    def num_lengthscales(self) -> int:
+        """One lengthscale per sub-kernel (k 1-D factors share one)."""
         return int(sum(self.degrees))
 
     @staticmethod
-    def polynomial(J: int, d: int = 1, base: str = "rbf", **kw) -> "KernelSpec":
-        """PolynomialProjectionKernel(J, k=1, d, base) equivalent."""
+    def polynomial(J: int, d: int = 1, base: str = "rbf", k: int = 1,
+                   **kw) -> "KernelSpec":
+        """PolynomialProjectionKernel(J, k, d, base) equivalent."""
         return KernelSpec(
-            family="projection", J=J, degrees=(d,) * J, bases=(base,) * J, **kw
+            family="projection", J=J, degrees=(d,) * J, bases=(base,) * J,
+            sub_dim=k, **kw
         )
 
     @staticmethod
@@ -158,13 +171,14 @@ def init_kernel_params(key, spec: KernelSpec, D: int, dtype=jnp.float32):
     if not spec.is_projection:
         raise ValueError(f"unknown kernel family {spec.family!r}")
 
-    M = spec.total_proj_dims  # total number of 1-D projections = sum of degrees
+    M = spec.total_proj_dims  # total 1-D projections = sum(degrees) * k
     P = gen_rp(key, D, M, spec.proj_dist, dtype=dtype)
     if spec.space_proj:
         P, _ = space_equally(P)
     n_scales = spec.J if spec.per_component_scale else 1
     params = {
-        "raw_lengthscale": zeros((M,)),  # one lengthscale per 1-D sub-kernel
+        # one lengthscale per SUB-KERNEL (its k 1-D factors share it)
+        "raw_lengthscale": zeros((spec.num_lengthscales,)),
         "raw_outputscale": zeros((n_scales,)) if spec.per_component_scale else zeros(()),
     }
     buffers = {}
@@ -194,12 +208,13 @@ def _component_groups(spec: KernelSpec):
     """
     groups = {}
     offset = 0
+    k = spec.sub_dim
     for j, (d, b) in enumerate(zip(spec.degrees, spec.bases)):
         groups.setdefault((d, b), ([], []))
         comp_idx, flat_idx = groups[(d, b)]
         comp_idx.append(j)
-        flat_idx.extend(range(offset, offset + d))
-        offset += d
+        flat_idx.extend(range(offset, offset + d * k))
+        offset += d * k
     return [
         (d, b, tuple(ci), tuple(fi)) for (d, b), (ci, fi) in sorted(groups.items())
     ]
@@ -250,7 +265,9 @@ def _projected_coords(spec: KernelSpec, params, buffers, x):
     lengthscale division fuses into it under XLA.
     """
     P = _get_proj(params, buffers)
-    ls = softplus(params["raw_lengthscale"])  # (M,)
+    ls = softplus(params["raw_lengthscale"])  # (num_lengthscales,)
+    if spec.sub_dim > 1:
+        ls = jnp.repeat(ls, spec.sub_dim)  # tie each sub-kernel's k factors
     # HIGHEST precision: projected coordinates feed 1-D differences, so
     # bf16-default matmul error would shift every kernel value; the matmul
     # is thin (K = D), full f32 passes are cheap.
@@ -275,13 +292,14 @@ def _projection_gram(spec: KernelSpec, params, buffers, x1, x2):
     n, m = x1.shape[0], x2.shape[0]
     out = jnp.zeros((n, m), x1.dtype)
     for d, base, comp_idx, flat_idx in _component_groups(spec):
+        dk = d * spec.sub_dim  # 1-D factors per component
         fi = jnp.asarray(flat_idx)
-        a = u1[fi]  # (g*d, n)
-        b = u2[fi]  # (g*d, m)
-        t = a[:, :, None] - b[:, None, :]  # (g*d, n, m) — VPU
+        a = u1[fi]  # (g*dk, n)
+        b = u2[fi]  # (g*dk, m)
+        t = a[:, :, None] - b[:, None, :]  # (g*dk, n, m) — VPU
         kv = _k1d(base, t)
-        if d > 1:
-            kv = jnp.prod(kv.reshape(len(comp_idx), d, n, m), axis=1)  # (g, n, m)
+        if dk > 1:
+            kv = jnp.prod(kv.reshape(len(comp_idx), dk, n, m), axis=1)  # (g, n, m)
         else:
             kv = kv.reshape(len(comp_idx), n, m)
         wg = w[jnp.asarray(comp_idx)]

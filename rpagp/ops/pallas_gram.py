@@ -288,6 +288,7 @@ def supports(spec) -> bool:
         spec.is_projection
         and len(set(spec.bases)) == 1
         and all(d == 1 for d in spec.degrees)
+        and spec.sub_dim == 1
         and not spec.ski
         and os.environ.get("RPAGP_NO_PALLAS", "0") != "1"
     )

@@ -98,8 +98,10 @@ def build_ski(spec: KernelSpec, kparams, kbuffers, x, grid_size: int,
     z_bounds: optional (lo (J,), hi (J,)) to build a grid covering MORE
     than x (e.g. train+test range) so the same grid serves cross-kernels.
     """
-    if not spec.is_projection or any(d != 1 for d in spec.degrees):
-        raise ValueError("SKI supports degree-1 projection kernels only")
+    if (not spec.is_projection or any(d != 1 for d in spec.degrees)
+            or spec.sub_dim != 1):
+        raise ValueError("SKI supports degree-1, sub_dim-1 projection "
+                         "kernels only")
     m = int(grid_size)
     z = project(spec, kparams, kbuffers, x)  # (J, n)
     if z_bounds is None:

@@ -151,6 +151,7 @@ def _slice_components(spec: ModelSpec, params, buffers, comp_axis: str):
     assert kspec.J % csize == 0, "J must divide the comp axis"
     assert all(d == 1 for d in kspec.degrees), "comp sharding: degree-1 only"
     Jl = kspec.J // csize
+    sk = kspec.sub_dim
     kspec_l = kspec.__class__(
         **{**kspec.__dict__, "J": Jl, "degrees": (1,) * Jl,
            "bases": (kspec.bases[0],) * Jl}
@@ -165,11 +166,13 @@ def _slice_components(spec: ModelSpec, params, buffers, comp_axis: str):
         )
     kb = dict(buffers["kernel"])
     if "proj" in kp:
-        kp["proj"] = jax.lax.dynamic_slice_in_dim(kp["proj"], cidx * Jl, Jl,
-                                                  axis=1)
+        kp["proj"] = jax.lax.dynamic_slice_in_dim(
+            kp["proj"], cidx * Jl * sk, Jl * sk, axis=1
+        )
     elif "proj" in kb:
-        kb["proj"] = jax.lax.dynamic_slice_in_dim(kb["proj"], cidx * Jl, Jl,
-                                                  axis=1)
+        kb["proj"] = jax.lax.dynamic_slice_in_dim(
+            kb["proj"], cidx * Jl * sk, Jl * sk, axis=1
+        )
     params_l = {**params, "kernel": kp}
     buffers_l = {**buffers, "kernel": kb}
     # shared-outputscale models divide sigma^2/J across ALL J components;

@@ -55,6 +55,7 @@ def kernel_spec_from_dict(d: dict) -> KernelSpec:
         return KernelSpec.polynomial(
             J=int(d.get("J", 10)),
             d=int(d.get("d", 1)),
+            k=int(d.get("k", 1)),
             base=d.get("base", "rbf"),
             **common,
         )

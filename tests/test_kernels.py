@@ -190,3 +190,31 @@ def test_kernel_convergence_to_limit():
     d_small = np.abs(k_at(5, 1) - k_at(5, 2)).mean()
     d_large = np.abs(k_at(500, 3) - k_at(500, 4)).mean()
     assert d_large < d_small / 3
+
+
+def test_sub_dim_k_equals_kdim_rbf_oracle():
+    """PolynomialProjectionKernel's k parameter: a k-dim isotropic RBF
+    sub-kernel == the tied product of its k 1-D factors. Oracle: explicit
+    exp(-||P_j x - P_j x'||^2 / (2 l_j^2)) with (D, k) blocks of P."""
+    n, m, D, J, k = 8, 6, 5, 3, 2
+    x1 = _rand(jax.random.key(20), n, D)
+    x2 = _rand(jax.random.key(21), m, D)
+    spec = KernelSpec.polynomial(J=J, d=1, k=k, base="rbf")
+    params, buf = init_kernel_params(KEY, spec, D)
+    params = {
+        **params,
+        "raw_lengthscale": jax.random.normal(jax.random.key(22), (J,)) * 0.3,
+    }
+    K = np.asarray(gram(spec, params, buf, x1, x2))
+
+    P = np.asarray(buf["proj"], np.float64)  # (D, J*k)
+    ls = np.asarray(softplus(params["raw_lengthscale"]), np.float64)
+    os_ = float(softplus(params["raw_outputscale"]))
+    oracle = np.zeros((n, m))
+    z1 = np.asarray(x1, np.float64) @ P
+    z2 = np.asarray(x2, np.float64) @ P
+    for j in range(J):
+        blk = slice(j * k, (j + 1) * k)
+        d2 = ((z1[:, None, blk] - z2[None, :, blk]) ** 2).sum(-1)
+        oracle += (os_ / J) * np.exp(-0.5 * d2 / ls[j] ** 2)
+    np.testing.assert_allclose(K, oracle, rtol=1e-4, atol=1e-5)
