@@ -51,6 +51,7 @@ int load_csv(const char* path, double** out_data, int64_t* out_rows,
   std::vector<double> vals;
   vals.reserve(len / 8);
   int64_t cols = -1, cur_cols = 0, rows = 0;
+  size_t row_start = 0;  // vals.size() at the start of the current line
   const char* p = buf;
   const char* end = buf + len;
   while (p < end) {
@@ -64,13 +65,17 @@ int load_csv(const char* path, double** out_data, int64_t* out_rows,
         ++rows;
       }
       cur_cols = 0;
+      row_start = vals.size();
       ++p;
       continue;
     }
     if (p >= end) break;
     char* next = nullptr;
     double v = strtod(p, &next);
-    if (next == p) {  // non-numeric token (header?) — skip the line
+    if (next == p) {  // non-numeric token (header?) — skip the line,
+      // dropping any values already pushed from it (otherwise a line
+      // like "1stcol,2ndcol" leaks a leading 1 and shifts every row)
+      vals.resize(row_start);
       while (p < end && *p != '\n') ++p;
       cur_cols = 0;
       continue;
@@ -127,13 +132,15 @@ int parse_matrix(const uint8_t* body, size_t len, const char* want_name,
       *data_off = off + 8;
       *advance = 8 + ((*sz + 7) & ~7u);  // 8-byte aligned
     }
+    // reject truncated/malformed elements whose payload runs past body
+    if (*data_off + (size_t)*sz > len) return false;
     return true;
   };
 
   uint32_t type, sz;
   size_t doff, adv;
   // array flags
-  if (!read_tag(&type, &sz, &doff, &adv)) return 10;
+  if (!read_tag(&type, &sz, &doff, &adv) || sz < 4) return 10;
   uint32_t cls;
   memcpy(&cls, body + doff, 4);
   cls &= 0xff;
@@ -156,15 +163,21 @@ int parse_matrix(const uint8_t* body, size_t len, const char* want_name,
   if (cls != 6 /*mxDOUBLE_CLASS*/) return 14;
   // real part
   if (!read_tag(&type, &sz, &doff, &adv)) return 15;
+  // validate dims BEFORE sizing anything off them: negative/huge d0,d1
+  // from a malformed file would overflow count and under-allocate.
+  // Each element is >= 4 bytes, so a legitimate count never exceeds len.
+  if (d0 <= 0 || d1 <= 0 ||
+      (uint64_t)d0 * (uint64_t)d1 > (uint64_t)len) return 12;
   size_t count = (size_t)d0 * (size_t)d1;
   double* data = (double*)malloc(sizeof(double) * count);
   if (type == 9 /*miDOUBLE*/) {
-    if (sz < count * 8) { free(data); return 16; }
+    if ((size_t)sz < count * 8) { free(data); return 16; }
     // column-major -> row-major
     const double* src = (const double*)(body + doff);
     for (int64_t c = 0; c < d1; ++c)
       for (int64_t r = 0; r < d0; ++r) data[r * d1 + c] = src[c * d0 + r];
   } else if (type == 7 /*miSINGLE*/) {
+    if ((size_t)sz < count * 4) { free(data); return 16; }
     const float* src = (const float*)(body + doff);
     for (int64_t c = 0; c < d1; ++c)
       for (int64_t r = 0; r < d0; ++r) data[r * d1 + c] = src[c * d0 + r];
@@ -205,14 +218,17 @@ int load_mat_data(const char* path, const char* want_name, double** out,
     memcpy(&type, buf.data() + off, 4);
     memcpy(&sz, buf.data() + off + 4, 4);
     const uint8_t* body = buf.data() + off + 8;
-    size_t body_len = sz;
+    // clamp to what is actually in the buffer: a truncated file's tag
+    // can claim more bytes than exist
+    size_t avail = (size_t)flen - off - 8;
+    size_t body_len = (size_t)sz < avail ? (size_t)sz : avail;
     std::vector<uint8_t> inflated;
     if (type == 15 /*miCOMPRESSED*/) {
       uLongf cap = (uLongf)sz * 8 + 1024;
       for (int tries = 0; tries < 6; ++tries) {
         inflated.resize(cap);
         uLongf got = cap;
-        int rc = uncompress(inflated.data(), &got, body, sz);
+        int rc = uncompress(inflated.data(), &got, body, body_len);
         if (rc == Z_OK) {
           inflated.resize(got);
           break;
@@ -242,14 +258,17 @@ int load_mat_data(const char* path, const char* want_name, double** out,
     memcpy(&type, buf.data() + off, 4);
     memcpy(&sz, buf.data() + off + 4, 4);
     const uint8_t* body = buf.data() + off + 8;
-    size_t body_len = sz;
+    // clamp to what is actually in the buffer: a truncated file's tag
+    // can claim more bytes than exist
+    size_t avail = (size_t)flen - off - 8;
+    size_t body_len = (size_t)sz < avail ? (size_t)sz : avail;
     std::vector<uint8_t> inflated;
     if (type == 15) {
       uLongf cap = (uLongf)sz * 8 + 1024;
       for (int tries = 0; tries < 6; ++tries) {
         inflated.resize(cap);
         uLongf got = cap;
-        int rc = uncompress(inflated.data(), &got, body, sz);
+        int rc = uncompress(inflated.data(), &got, body, body_len);
         if (rc == Z_OK) { inflated.resize(got); break; }
         if (rc == Z_BUF_ERROR) { cap *= 4; continue; }
         inflated.clear();

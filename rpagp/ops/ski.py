@@ -102,6 +102,13 @@ def build_ski(spec: KernelSpec, kparams, kbuffers, x, grid_size: int,
             or spec.sub_dim != 1):
         raise ValueError("SKI supports degree-1, sub_dim-1 projection "
                          "kernels only")
+    if spec.learn_proj:
+        # SKI geometry is built once from (stop-gradded) projections;
+        # ski_mvm never reads params["proj"], so the projection gradient
+        # would be silently zero. Reject rather than pretend to train it.
+        raise ValueError("learn_proj=True is incompatible with ski=True: "
+                         "the SKI interpolation geometry is fixed at "
+                         "prepare time, so projection gradients are zero")
     m = int(grid_size)
     z = project(spec, kparams, kbuffers, x)  # (J, n)
     if z_bounds is None:

@@ -68,6 +68,20 @@ def load_checkpoint(path: str, like: dict) -> dict:
         meta = json.load(f)
     leaves_like, treedef = jax.tree_util.tree_flatten(like)
     n = len(leaves_like)
+    # Structure check: a checkpoint from a different param/opt_state
+    # layout with a coincidentally matching leaf count would otherwise
+    # unflatten leaves into the wrong slots silently.
+    if meta.get("num_leaves", n) != n:
+        raise ValueError(
+            f"checkpoint has {meta['num_leaves']} leaves but `like` has "
+            f"{n}: structure mismatch (spec/optimizer changed?)"
+        )
+    saved_treedef = meta.get("treedef")
+    if saved_treedef is not None and saved_treedef != str(treedef):
+        raise ValueError(
+            "checkpoint treedef does not match `like`:\n"
+            f"  saved: {saved_treedef}\n  like:  {treedef}"
+        )
     flags = meta.get("key_flags", [False] * n)
     leaves = []
     for i in range(n):

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -114,7 +115,9 @@ def _synthetic(name: str, n: int, d: int, seed: int = 0):
     wheelhouse (additive over random directions) so training behaves
     qualitatively like the real UCI task.
     """
-    rng = np.random.default_rng(abs(hash(name)) % (2**31) + seed)
+    # zlib.crc32 is stable across processes; hash() is PYTHONHASHSEED-
+    # randomized and would break the "deterministic fallback" contract
+    rng = np.random.default_rng(zlib.crc32(name.encode()) + seed)
     X = rng.standard_normal((n, d))
     J = max(4, d)
     W = rng.standard_normal((d, J)) / np.sqrt(d)
@@ -162,9 +165,14 @@ def kfold_splits(
     ds: Dataset, k: int = 10, seed: int = 0, dtype=np.float32
 ) -> Iterator[Split]:
     """90/10 k-fold CV with per-split z-scoring from TRAIN statistics only
-    (the reference's protocol — [U] gp_experiment_runner.py)."""
+    (the reference's protocol — [U] gp_experiment_runner.py).
+
+    Fold assignment comes from the native runtime's splitmix64
+    Fisher-Yates permutation (identical with or without the toolchain)."""
+    from . import native
+
     n = ds.X.shape[0]
-    perm = np.random.default_rng(seed).permutation(n)
+    perm = native.kfold_perm(n, seed)
     folds = np.array_split(perm, k)
     for i in range(k):
         test_idx = folds[i]
@@ -173,19 +181,24 @@ def kfold_splits(
 
 
 def single_split(ds: Dataset, test_frac: float = 0.1, seed: int = 0, dtype=np.float32) -> Split:
+    from . import native
+
     n = ds.X.shape[0]
-    perm = np.random.default_rng(seed).permutation(n)
+    perm = native.kfold_perm(n, seed)
     n_test = max(1, int(round(test_frac * n)))
     return _make_split(ds, perm[n_test:], perm[:n_test], dtype)
 
 
 def _make_split(ds: Dataset, train_idx, test_idx, dtype) -> Split:
+    from . import native
+
     Xtr, ytr = ds.X[train_idx], ds.y[train_idx]
     Xte, yte = ds.X[test_idx], ds.y[test_idx]
-    x_mean, x_std = Xtr.mean(axis=0), Xtr.std(axis=0)
-    x_std = np.where(x_std < 1e-10, 1.0, x_std)
+    # native in-place fit+apply on train X (C-speed on the sweep path;
+    # numerically identical numpy fallback inside)
+    Xtr_n, x_mean, x_std = native.zscore_fit_apply(np.array(Xtr, np.float64))
     y_mean, y_std = float(ytr.mean()), float(ytr.std())
     y_std = y_std if y_std > 1e-10 else 1.0
     z = lambda X: ((X - x_mean) / x_std).astype(dtype)
     zy = lambda y: ((y - y_mean) / y_std).astype(dtype)
-    return Split(z(Xtr), zy(ytr), z(Xte), zy(yte), y_mean, y_std)
+    return Split(Xtr_n.astype(dtype), zy(ytr), z(Xte), zy(yte), y_mean, y_std)

@@ -134,11 +134,37 @@ def zscore_fit_apply(X: np.ndarray):
     return X, means, stds
 
 
-def kfold_perm(n: int, seed: int) -> Optional[np.ndarray]:
+def _splitmix64_stream(seed: int, count: int) -> np.ndarray:
+    """The first `count` outputs of splitmix64(seed), vectorized.
+
+    splitmix64's state advances by a constant each call, so output i is a
+    pure function of seed + (i+1)*golden — counter-based and vectorizable.
+    Must stay bit-identical to rpagp_native.cpp's `next()`.
+    """
+    golden = np.uint64(0x9E3779B97F4A7C15)
+    z = np.uint64(seed) + (np.arange(1, count + 1, dtype=np.uint64) * golden)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def kfold_perm(n: int, seed: int) -> np.ndarray:
+    """Deterministic Fisher-Yates permutation of [0, n).
+
+    Native C++ when the toolchain is available; otherwise a bit-identical
+    Python fallback (same splitmix64 stream), so split assignment never
+    depends on whether g++ exists.
+    """
     lib = _lib()
-    if lib is None:
-        return None
-    perm = np.empty(n, dtype=np.int64)
-    lib.kfold_perm(n, np.uint64(seed),
-                   perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if lib is not None:
+        perm = np.empty(n, dtype=np.int64)
+        lib.kfold_perm(n, np.uint64(seed),
+                       perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        return perm
+    perm = np.arange(n, dtype=np.int64)
+    if n > 1:
+        draws = _splitmix64_stream(seed, n - 1)
+        for k, i in enumerate(range(n - 1, 0, -1)):
+            j = int(draws[k] % np.uint64(i + 1))
+            perm[i], perm[j] = perm[j], perm[i]
     return perm

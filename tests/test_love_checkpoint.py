@@ -112,3 +112,20 @@ def test_checkpoint_roundtrip_and_rotation():
         files = [f for f in os.listdir(d) if f.endswith(".npz")]
         assert len(files) == 2 + 1  # keep=2 rotating + the manual one
         assert cp.latest() is not None
+
+
+def test_checkpoint_rejects_structure_mismatch():
+    import pytest
+
+    state = {"a": jnp.ones(3), "b": {"c": jnp.zeros(2)}}
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ckpt_mismatch")
+        ckpt.save_checkpoint(path, state)
+        # same leaf COUNT, different structure: must raise, not scramble
+        wrong = {"a": jnp.ones(3), "x": {"y": jnp.zeros(2)}}
+        with pytest.raises(ValueError, match="treedef"):
+            ckpt.load_checkpoint(path, wrong)
+        # different leaf count: must raise the count error
+        fewer = {"a": jnp.ones(3)}
+        with pytest.raises(ValueError, match="leaves|structure"):
+            ckpt.load_checkpoint(path, fewer)

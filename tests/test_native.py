@@ -71,3 +71,43 @@ def test_kfold_perm_is_valid_and_deterministic():
     np.testing.assert_array_equal(p1, p2)
     assert not np.array_equal(p1, p3)
     np.testing.assert_array_equal(np.sort(p1), np.arange(1000))
+
+
+def test_csv_parser_drops_partial_header_rows():
+    # regression: a header whose first token parses as a number
+    # ("1stcol") must not leak values into the table (ADVICE r1)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.csv")
+        with open(path, "w") as f:
+            f.write("1stcol,2ndcol,3rdcol\n1,2,3\n4,5,6\n")
+        got = native.load_csv(path)
+        np.testing.assert_allclose(got, [[1, 2, 3], [4, 5, 6]])
+
+
+def test_mat5_reader_rejects_truncated_file():
+    rng = np.random.default_rng(5)
+    data = rng.standard_normal((64, 4))
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.mat")
+        scipy.io.savemat(path, {"data": data}, do_compression=False)
+        raw = open(path, "rb").read()
+        trunc = os.path.join(d, "trunc.mat")
+        with open(trunc, "wb") as f:
+            f.write(raw[: len(raw) // 2])
+        assert native.load_mat(trunc, "data") is None  # not a crash/garbage
+
+
+def test_kfold_perm_python_fallback_matches_native():
+    from rpagp.utils.native import _lib, _splitmix64_stream
+
+    lib = _lib()
+    assert lib is not None
+    for n, seed in [(1, 0), (17, 42), (1000, 7)]:
+        native_perm = native.kfold_perm(n, seed)
+        perm = np.arange(n, dtype=np.int64)
+        if n > 1:
+            draws = _splitmix64_stream(seed, n - 1)
+            for k, i in enumerate(range(n - 1, 0, -1)):
+                j = int(draws[k] % np.uint64(i + 1))
+                perm[i], perm[j] = perm[j], perm[i]
+        np.testing.assert_array_equal(native_perm, perm)

@@ -132,3 +132,14 @@ def test_ski_requires_degree_one():
     x = jax.random.normal(jax.random.key(11), (10, 4))
     with pytest.raises(ValueError):
         ski.build_ski(spec, kp, kb, x, 32)
+
+
+def test_ski_rejects_learn_proj():
+    # learn_proj + ski would silently zero the projection gradient
+    # (geometry is fixed at prepare time) — must be rejected (ADVICE r1)
+    spec = KernelSpec.polynomial(J=3, d=1, ski=True, grid_size=32,
+                                 learn_proj=True)
+    kp, kb = kernels.init_kernel_params(KEY, spec, 4)
+    x = jax.random.normal(jax.random.key(12), (10, 4))
+    with pytest.raises(ValueError, match="learn_proj"):
+        ski.build_ski(spec, kp, kb, x, 32)
