@@ -3,10 +3,17 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 The driver metric (BASELINE.md): MLL-step wall-clock for RPA-GP with SKI
-MVMs at large n. This bench runs the J=20, grid-4096 SKI + BBMM-CG(20)
-+ SLQ(8 probes) value-and-grad step — the exact hot path of config 5 —
-at HouseElectric scale (n=1,800,000 rows does fit: SKI state is
-n*J*(4+4) floats ~ 1.2 GB at J=20) unless RPAGP_BENCH_N overrides.
+MVMs at large n. This bench runs the J=20, grid-512 SKI (dense interp
+plan) + BBMM-CG(20) + SLQ(8 probes) value-and-grad step — the exact hot
+path of config 5 — at HouseElectric scale unless RPAGP_BENCH_N
+overrides.
+
+Grid size: m=512 is evidence-based, not a speed hack — the grid-size
+study (scripts/grid_accuracy.py, docs/BENCHMARKS.md r2) shows the MLL
+bias at matched hyperparameters is IDENTICAL for m=256..4096 (the SLQ
+probe estimator's ~1.5e-4 floor dominates; the grid contributes nothing
+beyond m=256). Round 1 used m=4096 by fiat; m=512 keeps a 2x safety
+margin over the measured knee.
 
 vs_baseline: BASELINE.json's `published` is empty (no reference numbers
 were readable — see BASELINE.md provenance), so until a real GPyTorch
@@ -37,7 +44,8 @@ def main():
     from __graft_entry__ import _flagship_spec
 
     probes = int(os.environ.get("RPAGP_BENCH_PROBES", 8))
-    spec = _flagship_spec(grid_size=4096, cg_iters=20, probes=probes, J=20)
+    grid = int(os.environ.get("RPAGP_BENCH_GRID", 512))
+    spec = _flagship_spec(grid_size=grid, cg_iters=20, probes=probes, J=20)
 
     kx, ky = jax.random.split(jax.random.key(0))
     x = jax.random.normal(kx, (n, D), jnp.float32)

@@ -265,7 +265,7 @@ def iterative_posterior(
     def chunk_var(xc):
         # K(x_train, chunk) materialized blockwise via identity MVM
         if st_train is not None:
-            m_tr = st_train.bounds.shape[1]
+            m_tr = st_train.m
             st_c = _ski_state(
                 spec, params, buffers, xc,
                 z_bounds=(st_train.grid_lo + 2.0 * st_train.h,

@@ -11,12 +11,26 @@ TPU-native rebuild of the reference's SKI wiring ([U] kernels.py
 Per projection j:   K_j  ~=  W_j  T_j  W_j^T
   * W_j: cubic-convolution interpolation weights of the projected coords
     z_j onto a regular m-point grid — 4 taps per point. TPUs have no
-    sparse matmul, and row scatters of ~10-float rows run at ~7% lane
-    efficiency, so both directions are streaming ops: W^T v = [static
-    sort by cell] -> [per-tap cumsum] -> [difference at static cell
-    boundaries] (scatter-free), and W u = ONE wide gather from a
-    4-tap-stacked grid table. The two directions are registered as each
-    other's custom_vjp adjoints so gradients reuse the same fast plans.
+    sparse matmul. Two execution plans (KernelSpec.interp):
+
+    "dense" (default): NEVER gather. Build the (block_n, m) interpolation
+    matrix ON THE FLY from the fractional coordinates — m is only a few
+    lane tiles (m=512 -> 4), so evaluating the cubic at ALL m cells per
+    point is pure fused VPU math — and run both directions as MXU
+    matmuls over n-blocks. At HouseElectric scale this is ~5x faster
+    per MVM than any gather formulation: the platform's ~12 ns/row
+    gather rate is the binding floor there, while the dense plan is
+    VPU-compute-bound (measured round 2: 174 ms vs 775 ms per MVM
+    round trip at n=1.8M, J=20, m=512, t=9, Precision.HIGH dots).
+
+    "sorted": scatter-free streaming plan — W^T v = [static sort by
+    cell] -> [per-tap cumsum] -> [difference at static cell boundaries],
+    and W u = ONE wide gather from a 4-tap-stacked grid table. Exact-f32
+    taps; kept as the oracle/parity plan and for gather-friendly
+    backends.
+
+    Both plans register the two directions as each other's custom_vjp
+    adjoints so gradients reuse the same fast forward code.
   * T_j: the 1-D base kernel on the grid — symmetric TOEPLITZ because the
     grid is regular and the kernel stationary. T u is a circulant
     embedding of size 2m and two (r)FFTs — XLA's TPU FFT — batched over
@@ -62,16 +76,26 @@ class SKIState(NamedTuple):
     """Per-dataset interpolation geometry for all J components.
 
     All fields follow the lane-layout rule above: tap axes lead, the
-    point/grid axis is last.
+    point/grid axis is last. The "dense" plan needs only the first four
+    fields; the sort-plan fields are None for dense states (None leaves
+    vanish from the pytree, so dense states also carry ~10x less HBM
+    at scale: tfrac is (J, n) vs the sorted plan's 5 (J, n)-sized
+    arrays).
     """
 
     grid_lo: jax.Array  # (J,) left grid endpoint per component
     h: jax.Array  # (J,) grid spacing per component
-    i0: jax.Array  # (J, n) int32 base cell per point (taps at i0+{-1..2})
-    w4: jax.Array  # (4, J, n) tap weights (cubic convolution)
-    order: jax.Array  # (J, n) int32 point order sorted by base cell
-    w4_sorted: jax.Array  # (4, J, n) tap weights in sorted order
-    bounds: jax.Array  # (J, m) int32: #sorted points with i0 <= cell
+    cells: jax.Array  # (m,) f32 cell indices 0..m-1 (m lives here)
+    tfrac: jax.Array  # (J, n) fractional grid coordinate (z - lo) / h
+    i0: jax.Array | None  # (J, n) int32 base cell (taps at i0+{-1..2})
+    w4: jax.Array | None  # (4, J, n) tap weights (cubic convolution)
+    order: jax.Array | None  # (J, n) int32 point order sorted by base cell
+    w4_sorted: jax.Array | None  # (4, J, n) tap weights in sorted order
+    bounds: jax.Array | None  # (J, m) int32: #sorted pts with i0 <= cell
+
+    @property
+    def m(self) -> int:
+        return self.cells.shape[0]
 
 
 def _cubic_kernel(s):
@@ -91,12 +115,33 @@ def project(spec: KernelSpec, kparams, kbuffers, x):
     return z.T
 
 
+def _tap_geometry(tfrac, m: int, dtype):
+    """(i0, w4) from fractional coordinates: base cell + 4 normalized
+    cubic tap weights. i0 (J, n) int32; w4 (4, J, n)."""
+    i0 = jnp.clip(jnp.floor(tfrac).astype(jnp.int32), 1, m - 3)
+    # per-tap weights, built tap-by-tap: never materializes a (J, n, 4)
+    # array (lane-padding rule)
+    w_taps = []
+    for k in range(4):
+        s = tfrac - (i0 + (k - 1)).astype(dtype)
+        w_taps.append(_cubic_kernel(s))  # (J, n)
+    w4 = jnp.stack(w_taps, axis=0)  # (4, J, n)
+    # normalize: cubic-convolution weights sum to 1 exactly only for
+    # interior points; renormalize to keep constant functions exact.
+    # Points far outside the grid (zero-padding rows) get all-zero taps —
+    # guard the division so they contribute exact zeros, not NaNs.
+    wsum = jnp.sum(w4, axis=0, keepdims=True)
+    w4 = jnp.where(wsum > 1e-8, w4 / jnp.where(wsum == 0, 1.0, wsum), 0.0)
+    return i0, w4
+
+
 def build_ski(spec: KernelSpec, kparams, kbuffers, x, grid_size: int,
-              z_bounds=None):
+              z_bounds=None, plan: str | None = None):
     """Compute the SKI geometry for inputs x (once per dataset).
 
     z_bounds: optional (lo (J,), hi (J,)) to build a grid covering MORE
     than x (e.g. train+test range) so the same grid serves cross-kernels.
+    plan: "dense" | "sorted" | None (None -> spec.interp).
     """
     if (not spec.is_projection or any(d != 1 for d in spec.degrees)
             or spec.sub_dim != 1):
@@ -109,6 +154,9 @@ def build_ski(spec: KernelSpec, kparams, kbuffers, x, grid_size: int,
         raise ValueError("learn_proj=True is incompatible with ski=True: "
                          "the SKI interpolation geometry is fixed at "
                          "prepare time, so projection gradients are zero")
+    plan = spec.interp if plan is None else plan
+    if plan not in ("dense", "sorted"):
+        raise ValueError(f"unknown SKI interp plan {plan!r}")
     m = int(grid_size)
     z = project(spec, kparams, kbuffers, x)  # (J, n)
     if z_bounds is None:
@@ -119,34 +167,26 @@ def build_ski(spec: KernelSpec, kparams, kbuffers, x, grid_size: int,
     # pad by 2 cells each side so all 4 cubic taps stay interior
     h = span / (m - 5)
     grid_lo = lo - 2.0 * h
+    cells = jnp.arange(m, dtype=z.dtype)
 
     t = (z - grid_lo[:, None]) / h[:, None]  # fractional grid coordinate
-    i0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 1, m - 3)
-    # per-tap weights, built tap-by-tap: never materializes a (J, n, 4)
-    # array (lane-padding rule)
-    w_taps = []
-    for k in range(4):
-        s = t - (i0 + (k - 1)).astype(z.dtype)
-        w_taps.append(_cubic_kernel(s))  # (J, n)
-    w4 = jnp.stack(w_taps, axis=0)  # (4, J, n)
-    # normalize: cubic-convolution weights sum to 1 exactly only for
-    # interior points; renormalize to keep constant functions exact.
-    # Points far outside the grid (zero-padding rows) get all-zero taps —
-    # guard the division so they contribute exact zeros, not NaNs.
-    wsum = jnp.sum(w4, axis=0, keepdims=True)
-    w4 = jnp.where(wsum > 1e-8, w4 / jnp.where(wsum == 0, 1.0, wsum), 0.0)
+    if plan == "dense":
+        return SKIState(grid_lo=grid_lo, h=h, cells=cells, tfrac=t,
+                        i0=None, w4=None, order=None, w4_sorted=None,
+                        bounds=None)
 
+    i0, w4 = _tap_geometry(t, m, z.dtype)
     # scatter-free transpose plan: sort points by base cell per component
     order = jnp.argsort(i0, axis=1).astype(jnp.int32)  # (J, n)
     i0_sorted = jnp.take_along_axis(i0, order, axis=1)
     w4_sorted = jnp.take_along_axis(w4, order[None, :, :], axis=2)
     # bounds[j, c] = #points with i0 <= c  (searchsorted per component)
-    cells = jnp.arange(m, dtype=i0.dtype)
     bounds = jax.vmap(
-        lambda srt: jnp.searchsorted(srt, cells, side="right")
+        lambda srt: jnp.searchsorted(srt, jnp.arange(m, dtype=i0.dtype),
+                                     side="right")
     )(i0_sorted).astype(jnp.int32)
-    return SKIState(grid_lo=grid_lo, h=h, i0=i0, w4=w4,
-                    order=order, w4_sorted=w4_sorted, bounds=bounds)
+    return SKIState(grid_lo=grid_lo, h=h, cells=cells, tfrac=t, i0=i0,
+                    w4=w4, order=order, w4_sorted=w4_sorted, bounds=bounds)
 
 
 def toeplitz_columns(spec: KernelSpec, kparams, state: SKIState):
@@ -155,8 +195,7 @@ def toeplitz_columns(spec: KernelSpec, kparams, state: SKIState):
     The only lengthscale-dependent piece; re-evaluated per training step.
     """
     ls = softplus(kparams["raw_lengthscale"])  # (J,) for degree-1
-    m = state.bounds.shape[1]  # static grid size (from array shape)
-    dists = jnp.arange(m)[None, :] * state.h[:, None]  # (J, m)
+    dists = state.cells[None, :] * state.h[:, None]  # (J, m)
     base = spec.bases[0]
     # all degree-1 bases are required uniform for the batched FFT; mixed
     # bases would need a (cheap) per-group split — not in the reference.
@@ -335,6 +374,115 @@ interp_apply.defvjp(_ia_fwd, _ia_bwd)
 
 
 # ---------------------------------------------------------------------------
+# DENSE interpolation plan: no gathers at all. Both directions build the
+# (block_n, m) interpolation matrix on the fly from tfrac (fused VPU
+# cubic eval over all m cells — m is a handful of lane tiles) and
+# contract it on the MXU. VPU-compute-bound; ~5x the sorted plan at
+# HouseElectric scale where gathers are the floor. The two directions
+# are EXACT adjoints of each other:
+#       dense_interp_transpose: V (n, t)   -> U (J, t, m),  U_j = W_j^T V
+#       dense_interp_apply_sum: G (J, t, m) -> (n, t),  sum_j W_j G_j
+# so each one's custom_vjp backward is the other's forward.
+# ---------------------------------------------------------------------------
+
+_DENSE_BLOCK = 4096
+# HIGH = bf16x3 passes: ~1.5e-5 relative error on the interp dots (far
+# below the SKI approximation itself) at ~60% of HIGHEST's cost. The
+# platform DEFAULT is a single bf16 pass (~2e-3) — too loose for CG.
+_DENSE_PREC = jax.lax.Precision.HIGH
+
+
+def _dense_blocks(tfrac):
+    """Pad tfrac to a whole number of blocks. Padded slots get tfrac
+    -100: every cubic weight is exactly 0, so they contribute nothing."""
+    J, n = tfrac.shape
+    bn = min(_DENSE_BLOCK, max(8, n))
+    nb = -(-n // bn)
+    pad = nb * bn - n
+    if pad:
+        tfrac = jnp.pad(tfrac, ((0, 0), (0, pad)), constant_values=-100.0)
+    return tfrac, bn, nb, pad
+
+
+def _dense_interp_transpose_impl(state: SKIState, V):
+    """W^T V per component: V (n, t) -> (J, t, m)."""
+    cells = state.cells
+    J, n = state.tfrac.shape
+    t = V.shape[1]
+    tf, bn, nb, pad = _dense_blocks(state.tfrac)
+    VT = V.T if not pad else jnp.pad(V.T, ((0, 0), (0, pad)))  # (t, n_pad)
+    tfb = tf.reshape(J, nb, bn).transpose(1, 0, 2)  # (nb, J, bn)
+    Vb = VT.reshape(t, nb, bn).transpose(1, 0, 2)  # (nb, t, bn)
+
+    def body(U, inp):
+        tfb_i, vb_i = inp
+        W = _cubic_kernel(tfb_i[:, :, None] - cells)  # (J, bn, m)
+        U_p = jax.lax.dot_general(
+            vb_i, W, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_DENSE_PREC,
+        )  # (t, J, m)
+        return U + U_p.transpose(1, 0, 2), None
+
+    U0 = jnp.zeros((J, t, cells.shape[0]), jnp.float32)
+    U, _ = jax.lax.scan(body, U0, (tfb, Vb))
+    return U.astype(V.dtype)
+
+
+def _dense_interp_apply_sum_impl(state: SKIState, G):
+    """sum_j W_j G_j: G (J, t, m) -> (n, t)."""
+    cells = state.cells
+    J, n = state.tfrac.shape
+    t = G.shape[1]
+    tf, bn, nb, _ = _dense_blocks(state.tfrac)
+    tfb = tf.reshape(J, nb, bn).transpose(1, 0, 2)  # (nb, J, bn)
+
+    def body(_, tfb_i):
+        W = _cubic_kernel(tfb_i[:, :, None] - cells)  # (J, bn, m)
+        out = jax.lax.dot_general(
+            G, W, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=_DENSE_PREC,
+        )  # (J, t, bn)
+        return None, jnp.sum(out, axis=0)  # (t, bn)
+
+    _, outs = jax.lax.scan(body, None, tfb)  # (nb, t, bn)
+    return outs.transpose(1, 0, 2).reshape(t, -1)[:, :n].T.astype(G.dtype)
+
+
+@jax.custom_vjp
+def dense_interp_transpose(state: SKIState, V):
+    """W^T V: (n, t) -> (J, t, m) — dense plan."""
+    return _dense_interp_transpose_impl(state, V)
+
+
+def _dit_fwd(state, V):
+    return _dense_interp_transpose_impl(state, V), state
+
+
+def _dit_bwd(state, U_bar):
+    return None, _dense_interp_apply_sum_impl(state, U_bar)
+
+
+dense_interp_transpose.defvjp(_dit_fwd, _dit_bwd)
+
+
+@jax.custom_vjp
+def dense_interp_apply_sum(state: SKIState, G):
+    """sum_j W_j G_j: (J, t, m) -> (n, t) — dense plan."""
+    return _dense_interp_apply_sum_impl(state, G)
+
+
+def _dia_fwd(state, G):
+    return _dense_interp_apply_sum_impl(state, G), state
+
+
+def _dia_bwd(state, out_bar):
+    return None, _dense_interp_transpose_impl(state, out_bar)
+
+
+dense_interp_apply_sum.defvjp(_dia_fwd, _dia_bwd)
+
+
+# ---------------------------------------------------------------------------
 # public kernel ops
 # ---------------------------------------------------------------------------
 
@@ -350,10 +498,15 @@ def ski_mvm(spec: KernelSpec, kparams, state: SKIState, V,
     if state_rhs is None:
         state_rhs = state
     col = toeplitz_columns(spec, kparams, state)  # (J, m)
-    U = interp_transpose(state_rhs, V)  # (J, t, m)
-    TU = sym_toeplitz_matmul(col, U)  # (J, t, m)
-    WTU = interp_apply(state, TU)  # (J, t, n)
     scales = _component_scales(spec, kparams, V.dtype)  # (J,)
+    if state_rhs.order is None:  # dense plan
+        U = dense_interp_transpose(state_rhs, V)  # (J, t, m)
+    else:
+        U = interp_transpose(state_rhs, V)  # (J, t, m)
+    TU = sym_toeplitz_matmul(col, U)  # (J, t, m)
+    if state.order is None:  # dense plan: scales fold into grid space
+        return dense_interp_apply_sum(state, scales[:, None, None] * TU)
+    WTU = interp_apply(state, TU)  # (J, t, n)
     return jnp.tensordot(scales, WTU, axes=1).T  # (n, t)
 
 
@@ -364,6 +517,9 @@ def ski_gram_diag(spec: KernelSpec, kparams, state: SKIState, n: int):
     col = toeplitz_columns(spec, kparams, state)  # (J, m)
     taps = jnp.arange(4)
     Tlocal = col[:, jnp.abs(taps[:, None] - taps[None, :])]  # (J, 4, 4)
-    quad = jnp.einsum("jab,ajn,bjn->jn", Tlocal, state.w4, state.w4)
+    w4 = state.w4
+    if w4 is None:  # dense-plan state: derive taps from tfrac on demand
+        _, w4 = _tap_geometry(state.tfrac, state.m, state.tfrac.dtype)
+    quad = jnp.einsum("jab,ajn,bjn->jn", Tlocal, w4, w4)
     scales = _component_scales(spec, kparams, col.dtype)
     return jnp.tensordot(scales, quad, axes=1)

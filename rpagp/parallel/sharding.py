@@ -113,11 +113,17 @@ def sharded_ski_mvm(kspec, kparams, state_local: ski.SKIState, v_local,
     partials; Toeplitz FFT + gather are local.
     """
     col = ski.toeplitz_columns(kspec, kparams, state_local)  # (J, m)
+    scales = kernels._component_scales(kspec, kparams, v_local.dtype)
+    if state_local.order is None:  # dense plan (KernelSpec.interp)
+        U = ski.dense_interp_transpose(state_local, v_local)
+        U = jax.lax.psum(U, axis)  # grid-sized ICI traffic
+        TU = ski.sym_toeplitz_matmul(col, U)
+        return ski.dense_interp_apply_sum(state_local,
+                                          scales[:, None, None] * TU)
     U = ski.interp_transpose(state_local, v_local)  # (J, t, m) partial
     U = jax.lax.psum(U, axis)  # grid-sized ICI traffic
     TU = ski.sym_toeplitz_matmul(col, U)
     WTU = ski.interp_apply(state_local, TU)  # (J, t, n) back to local rows
-    scales = kernels._component_scales(kspec, kparams, v_local.dtype)
     return jnp.tensordot(scales, WTU, axes=1).T
 
 

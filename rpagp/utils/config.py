@@ -48,6 +48,7 @@ def kernel_spec_from_dict(d: dict) -> KernelSpec:
             space_proj=bool(d.get("space_proj", False)),
             ski=bool(d.get("ski", False)),
             grid_size=int(d.get("grid_size", 0)),
+            interp=str(d.get("interp", "dense")),
         )
         if "degrees" in d:  # generalized (heterogeneous) form
             bases = d.get("bases", ["rbf"] * len(d["degrees"]))

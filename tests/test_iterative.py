@@ -194,3 +194,48 @@ def test_iterative_posterior_matches_exact():
     np.testing.assert_allclose(
         np.asarray(var_i), np.asarray(var_e), rtol=2e-2, atol=2e-3
     )
+
+
+def test_flagship_knobs_bias_bounded():
+    """VERDICT r1 #4: quantify what the FLAGSHIP knobs (cg 20, tol 1e-2,
+    8 probes, rank 15) cost vs the exact Cholesky MLL — and that the SKI
+    grid size does not move the answer (m=128 vs m=1024 identical to
+    well under estimator noise). Full-scale numbers: scripts/
+    grid_accuracy.py + docs/BENCHMARKS.md (bias +2.4e-4/datum, grad
+    relerr 2.3% at n=16k)."""
+    n, D, J = 2048, 8, 6
+    kx, ky = jax.random.split(jax.random.key(40))
+    x = jax.random.normal(kx, (n, D), jnp.float32)
+    y = jnp.sin(2.0 * x[:, 0]) + 0.1 * jax.random.normal(ky, (n,), jnp.float32)
+    kspec = KernelSpec.polynomial(J=J, d=1, base="rbf")
+    spec_chol = ModelSpec(kernel=kspec, max_cholesky_size=10**9)
+    params, buffers = init_model(jax.random.key(41), spec_chol, D)
+
+    def flat(g):
+        return jnp.concatenate(
+            [jnp.ravel(v) for v in jax.tree_util.tree_leaves(g)])
+
+    v_ref, g_ref = jax.value_and_grad(
+        lambda p: exact_mll(spec_chol, p, buffers, x, y) / n
+    )(params)
+
+    mlls = {}
+    for m in (128, 1024):
+        ks = KernelSpec.polynomial(J=J, d=1, base="rbf", ski=True,
+                                   grid_size=m)
+        spec = ModelSpec(kernel=ks, max_cholesky_size=256, cg_max_iters=20,
+                         cg_tol=1e-2, precond_rank=15, num_probes=8)
+        from rpagp.models import exact_gp
+        bufs = exact_gp.prepare_buffers(spec, params, buffers, x)
+        v, g = jax.value_and_grad(
+            lambda p: iterative.iterative_mll(spec, p, bufs, x, y,
+                                              jax.random.key(42)) / n
+        )(params)
+        mlls[m] = float(v)
+        # per-datum MLL bias at flagship knobs stays well under 5e-3
+        assert abs(float(v) - float(v_ref)) < 5e-3, (m, float(v), float(v_ref))
+        gerr = float(jnp.linalg.norm(flat(g) - flat(g_ref))
+                     / jnp.linalg.norm(flat(g_ref)))
+        assert gerr < 0.15, (m, gerr)
+    # the grid size is immaterial next to estimator noise
+    assert abs(mlls[128] - mlls[1024]) < 1e-3, mlls

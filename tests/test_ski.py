@@ -37,9 +37,9 @@ def test_sym_toeplitz_matmul_vs_dense():
 
 def test_interp_weights_partition_of_unity():
     spec, kp, kb, x = _setup()
-    st = ski.build_ski(spec, kp, kb, x, spec.grid_size)
+    st = ski.build_ski(spec, kp, kb, x, spec.grid_size, plan="sorted")
     np.testing.assert_allclose(np.asarray(st.w4.sum(0)), 1.0, atol=1e-5)
-    m = st.bounds.shape[1]
+    m = st.m
     assert st.i0.min() >= 1 and st.i0.max() <= m - 3
 
 
@@ -47,14 +47,51 @@ def test_interpolation_reconstructs_smooth_function():
     """W applied to f(grid) should reproduce f(z) for smooth f — the
     heart of the KISS-GP approximation."""
     spec, kp, kb, x = _setup(m=128)
-    st = ski.build_ski(spec, kp, kb, x, 128)
+    st = ski.build_ski(spec, kp, kb, x, 128, plan="sorted")
     z = ski.project(spec, kp, kb, x)  # (J, n)
-    m = st.bounds.shape[1]
-    grid = st.grid_lo[:, None] + st.h[:, None] * jnp.arange(m)[None, :]
+    grid = st.grid_lo[:, None] + st.h[:, None] * jnp.arange(st.m)[None, :]
     f = lambda v: jnp.sin(2.0 * v)
     G = f(grid)[:, None, :]  # (J, 1, m)
     got = np.asarray(ski.interp_apply(st, G))[:, 0, :]
     np.testing.assert_allclose(got, np.asarray(f(z)), atol=2e-3)
+
+
+def test_dense_interp_matches_sorted():
+    """The dense (gather-free) plan must agree with the sorted plan —
+    both directions AND the custom_vjp adjoints."""
+    spec, kp, kb, x = _setup(n=150, m=96, J=4)
+    st_s = ski.build_ski(spec, kp, kb, x, 96, plan="sorted")
+    st_d = ski.build_ski(spec, kp, kb, x, 96, plan="dense")
+    V = jax.random.normal(jax.random.key(20), (150, 3))
+    U_s = np.asarray(ski.interp_transpose(st_s, V))
+    U_d = np.asarray(ski.dense_interp_transpose(st_d, V))
+    np.testing.assert_allclose(U_d, U_s, rtol=2e-4, atol=2e-4)
+    G = jax.random.normal(jax.random.key(21), (4, 3, 96))
+    rows_s = np.asarray(ski.interp_apply(st_s, G)).sum(0).T  # (n, t)
+    rows_d = np.asarray(ski.dense_interp_apply_sum(st_d, G))
+    np.testing.assert_allclose(rows_d, rows_s, rtol=2e-4, atol=2e-4)
+    # adjoint identity: <W^T V, G> == <V, sum_j W_j G_j>
+    lhs = float(jnp.sum(ski.dense_interp_transpose(st_d, V) * G))
+    rhs = float(jnp.sum(V * ski.dense_interp_apply_sum(st_d, G)))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-4)
+
+
+def test_dense_ski_mvm_and_grad_match_sorted():
+    spec, kp, kb, x = _setup(n=120, m=128, J=4)
+    st_s = ski.build_ski(spec, kp, kb, x, 128, plan="sorted")
+    st_d = ski.build_ski(spec, kp, kb, x, 128, plan="dense")
+    V = jax.random.normal(jax.random.key(22), (120, 2))
+
+    def loss(kp_, st):
+        out = ski.ski_mvm(spec, kp_, st, V)
+        return jnp.sum(out * V)
+
+    v_s, g_s = jax.value_and_grad(loss)(kp, st_s)
+    v_d, g_d = jax.value_and_grad(loss)(kp, st_d)
+    np.testing.assert_allclose(float(v_d), float(v_s), rtol=1e-4)
+    for k in g_s:
+        np.testing.assert_allclose(np.asarray(g_d[k]), np.asarray(g_s[k]),
+                                   rtol=2e-3, atol=2e-4, err_msg=k)
 
 
 def test_ski_mvm_close_to_exact_kernel_mvm():
