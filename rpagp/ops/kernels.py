@@ -359,10 +359,9 @@ def mvm(
     the per-block computation is rematerialized (jax.checkpoint) so
     reverse-mode through an MVM stores O(block * t), not the Gram slabs.
     """
-    # Pallas fused Gram-MVM fast path: VALUE-ONLY call sites (CG loops,
-    # posterior solves — the 95% of MVMs that sit inside custom_vjp
-    # forwards). Differentiated paths keep the XLA route: the Pallas call
-    # has no vjp rule yet (backward-kernel work tracked for a later pass).
+    # Pallas fused Gram-MVM fast path, opt-in per call site (pallas_gram
+    # has a full custom_vjp, but the XLA route wins on some shapes — see
+    # docs/BENCHMARKS.md "Pallas vs XLA" — so callers choose explicitly).
     if allow_pallas and spec.is_projection:
         from . import pallas_gram
 

@@ -33,6 +33,7 @@ where GSPMD auto-inserts the (cheap, vector-sized) psums for dot products.
 
 from __future__ import annotations
 
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -187,10 +188,53 @@ def _slice_components(spec: ModelSpec, params, buffers, comp_axis: str):
     return kspec_l, params_l, buffers_l, Jl
 
 
+def prepare_distributed_ski(spec: ModelSpec, params, buffers, x_sharded,
+                            mesh: Mesh):
+    """Build the SKI interpolation geometry ONCE per dataset, laid out for
+    the mesh: tfrac row-sharded over the data axis (and component-sharded
+    over the comp axis when present), grid scalars replicated.
+
+    The geometry depends only on the data and the FIXED projections —
+    never on trainable hyperparameters — so rebuilding it inside every
+    training step (a (J, n) projection + normalization) is pure waste;
+    pass the result to the step returned by make_distributed_train_step.
+
+    Dense interpolation plan only (the default): the sorted plan's
+    per-shard sort/bounds structure is built in-step instead (its cost is
+    per-shard-sized). Returns None when not applicable."""
+    kspec = spec.kernel
+    if not kspec.ski or kspec.interp != "dense":
+        return None
+    comp = COMP_AXIS if COMP_AXIS in mesh.axis_names else None
+    jspec = P(comp) if comp else P()
+    tfspec = P(comp, AXIS) if comp else P(None, AXIS)
+    out_sh = ski.SKIState(
+        grid_lo=NamedSharding(mesh, jspec), h=NamedSharding(mesh, jspec),
+        cells=NamedSharding(mesh, P()),
+        tfrac=NamedSharding(mesh, tfspec),
+        i0=None, w4=None, order=None, w4_sorted=None, bounds=None,
+    )
+
+    @functools.partial(jax.jit, static_argnums=(), out_shardings=out_sh)
+    def _build(kp, kb, x):
+        return ski.build_ski(kspec, kp, kb, x, kspec.grid_size)
+
+    return _build(params["kernel"], buffers["kernel"], x_sharded)
+
+
+def _ski_state_in_specs(comp_axis):
+    """shard_map in_specs pytree for a prepared (dense-plan) SKIState."""
+    jspec = P(comp_axis) if comp_axis else P()
+    tfspec = P(comp_axis, AXIS) if comp_axis else P(None, AXIS)
+    return ski.SKIState(grid_lo=jspec, h=jspec, cells=P(), tfrac=tfspec,
+                        i0=None, w4=None, order=None, w4_sorted=None,
+                        bounds=None)
+
+
 def distributed_mll(spec: ModelSpec, params, buffers, x_local, y_local,
                     eps_big_local, axis: str = AXIS, pre_L_local=None,
                     pre_chol_small=None, pre_logdet=None,
-                    eps_small=None, comp_axis=None):
+                    eps_small=None, comp_axis=None, ski_state_local=None):
     """Marginal log-likelihood on row-sharded data. Runs INSIDE shard_map.
 
     The SPMD mirror of ops.iterative's forward: batched PCG where the MVM
@@ -239,9 +283,14 @@ def distributed_mll(spec: ModelSpec, params, buffers, x_local, y_local,
     kp, kb = params_l["kernel"], buffers_l["kernel"]
 
     if kspec.ski:
-        bounds = _global_z_bounds(kspec, jax.lax.stop_gradient(kp), kb, x_local, axis)
-        state = ski.build_ski(kspec, jax.lax.stop_gradient(kp), kb, x_local,
-                              kspec.grid_size, z_bounds=bounds)
+        if ski_state_local is not None:
+            # hoisted geometry (prepare_distributed_ski): local shard view
+            state = ski_state_local
+        else:
+            bounds = _global_z_bounds(kspec, jax.lax.stop_gradient(kp), kb,
+                                      x_local, axis)
+            state = ski.build_ski(kspec, jax.lax.stop_gradient(kp), kb,
+                                  x_local, kspec.grid_size, z_bounds=bounds)
         kmvm = lambda p, V: comp_psum(
             w_fix * sharded_ski_mvm(kspec, p["kernel"], state, V, axis)
         )
@@ -340,10 +389,13 @@ def make_distributed_train_step(spec: ModelSpec, mesh: Mesh, optimizer,
                                 n_global: int, dtype=jnp.float32):
     """One jit'd SPMD Adam step on row-sharded (x, y).
 
-    Returns step(params, opt_state, x_sharded, y_sharded, key)
-    -> (params, opt_state, loss). Everything under one jit; the shard_map
-    wraps the loss so collectives (ring ppermute / grid psum / dot psums)
-    ride ICI inside the compiled program.
+    Returns step(params, buffers, opt_state, x_sharded, y_sharded, key[,
+    ski_state]) -> (params, opt_state, loss). Everything under one jit;
+    the shard_map wraps the loss so collectives (ring ppermute / grid
+    psum / dot psums) ride ICI inside the compiled program. For SKI specs
+    pass ski_state=prepare_distributed_ski(...) so the (per-dataset,
+    hyperparameter-free) interpolation geometry is built once, not once
+    per step.
     """
     import optax
 
@@ -353,7 +405,7 @@ def make_distributed_train_step(spec: ModelSpec, mesh: Mesh, optimizer,
     use_pre = spec.precond_rank > 0 and not spec.kernel.ski
 
     def loss_fn(params, buffers, x_local, y_local, eps_local,
-                Lp, Cs, ld, eps_s):
+                Lp, Cs, ld, eps_s, ski_state_local):
         return (
             -distributed_mll(
                 spec, params, buffers, x_local, y_local, eps_local,
@@ -362,12 +414,14 @@ def make_distributed_train_step(spec: ModelSpec, mesh: Mesh, optimizer,
                 pre_logdet=ld if use_pre else None,
                 eps_small=eps_s if use_pre else None,
                 comp_axis=comp_axis,
+                ski_state_local=ski_state_local,
             )
             / n_global
         )
 
-    def value_and_summed_grad(p, b, xs, ys, es, Lp, Cs, ld, eps_s):
-        loss, g = jax.value_and_grad(loss_fn)(p, b, xs, ys, es, Lp, Cs, ld, eps_s)
+    def value_and_summed_grad(p, b, xs, ys, es, Lp, Cs, ld, eps_s, sst):
+        loss, g = jax.value_and_grad(loss_fn)(p, b, xs, ys, es, Lp, Cs, ld,
+                                              eps_s, sst)
         # each device holds only its shard's contribution to d loss/d params
         # (replicated params, sharded compute) — sum partials over ICI
         g = jax.lax.psum(g, AXIS)
@@ -381,17 +435,23 @@ def make_distributed_train_step(spec: ModelSpec, mesh: Mesh, optimizer,
         return loss, g
 
     in_axis = P(AXIS)  # data-sharded, comp-replicated (if comp exists)
-    smapped = jax.shard_map(
-        value_and_summed_grad,
-        mesh=mesh,
-        in_specs=(P(), P(), in_axis, in_axis, in_axis,
-                  in_axis, P(), P(), P()),
-        out_specs=(P(), P()),
-        check_vma=False,
-    )
 
     @jax.jit
-    def step(params, buffers, opt_state, x_sharded, y_sharded, key):
+    def step(params, buffers, opt_state, x_sharded, y_sharded, key,
+             ski_state=None):
+        # shard_map is constructed at trace time so the in_specs adapt to
+        # whether a hoisted SKI geometry (prepare_distributed_ski) rides
+        # along; a None state falls back to the in-step build
+        state_specs = (_ski_state_in_specs(comp_axis)
+                       if ski_state is not None else P())
+        smapped = jax.shard_map(
+            value_and_summed_grad,
+            mesh=mesh,
+            in_specs=(P(), P(), in_axis, in_axis, in_axis,
+                      in_axis, P(), P(), P(), state_specs),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
         k1, k2 = jax.random.split(key)
         eps = jax.random.normal(k1, (n_global, spec.num_probes), dtype)
         rank = spec.precond_rank if use_pre else 1
@@ -414,7 +474,7 @@ def make_distributed_train_step(spec: ModelSpec, mesh: Mesh, optimizer,
             ld = jnp.zeros((), dtype)
         eps_s = jax.random.normal(k2, (rank, spec.num_probes), dtype)
         loss, grads = smapped(params, buffers, x_sharded, y_sharded, eps,
-                              Lfull, Cs, ld, eps_s)
+                              Lfull, Cs, ld, eps_s, ski_state)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

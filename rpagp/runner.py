@@ -151,6 +151,8 @@ def _run_split_distributed(exp: ExperimentSpec, x, y, xt, yt, seed: int):
     ys = sharding.shard_rows(y, mesh)
     params = sharding.replicate(params, mesh)
     buffers = sharding.replicate(buffers, mesh)
+    # SKI geometry is hyperparameter-free: build once per dataset, sharded
+    ski_state = sharding.prepare_distributed_ski(spec, params, buffers, xs, mesh)
     opt_state = opt.init(params)
 
     key = jax.random.key(seed + 1)
@@ -159,7 +161,8 @@ def _run_split_distributed(exp: ExperimentSpec, x, y, xt, yt, seed: int):
     ema = None
     for i in range(exp.train.max_iters):
         key, k = jax.random.split(key)
-        params, opt_state, loss = step(params, buffers, opt_state, xs, ys, k)
+        params, opt_state, loss = step(params, buffers, opt_state, xs, ys, k,
+                                       ski_state)
         loss = float(loss)
         losses.append(loss)
         if not jnp.isfinite(loss):

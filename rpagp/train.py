@@ -147,17 +147,27 @@ def train_with_checkpointing(
     checkpoint_dir: str,
     lr: float = 0.1,
     max_iters: int = 1000,
+    patience: int = 20,
+    rel_tol: float = 1e-6,
     checkpoint_every: int = 100,
     keep: int = 3,
     key=None,
     loss_args=(),
     resume: bool = True,
 ) -> TrainResult:
-    """Adam with periodic checkpoint/resume (the aux subsystem the
-    reference lacks — SURVEY.md §5 'checkpoint/resume'). Resumes from the
-    latest checkpoint in `checkpoint_dir` when present; checkpoints carry
-    params, optimizer state, PRNG key, and step counter."""
+    """`train_to_convergence` with periodic checkpoint/resume (the aux
+    subsystem the reference lacks — SURVEY.md §5 'checkpoint/resume').
+
+    Same convergence contract as train_to_convergence (patience stopping
+    on the best [EMA-smoothed when stochastic] loss, best-params return).
+    Checkpoints carry params, best-params, optimizer state, PRNG key,
+    step counter AND the convergence state (best/bad/ema), so a resumed
+    run continues the patience logic exactly; the full loss history is
+    persisted alongside (losses.npy), so `losses` spans ALL segments."""
+    import os as _os
+
     import jax.numpy as _jnp
+    import numpy as _np
 
     from .utils.checkpoint import Checkpointer, load_checkpoint
 
@@ -166,22 +176,50 @@ def train_with_checkpointing(
     stochastic = key is not None
     state = {
         "params": params,
+        "best_params": params,
         "opt_state": opt_state,
         "key": key if stochastic else jax.random.key(0),
         "step": _jnp.asarray(0),
+        "best": _jnp.asarray(_jnp.inf),
+        "bad": _jnp.asarray(0),
+        "ema": _jnp.asarray(_jnp.nan),
     }
     cp = Checkpointer(checkpoint_dir, every=checkpoint_every, keep=keep)
+    losses_path = _os.path.join(checkpoint_dir, "losses.npy")
     start = 0
+    losses: list = []
     if resume:
         latest = cp.latest()
         if latest is not None:
             state = load_checkpoint(latest, state)
             start = int(state["step"])
+            if _os.path.exists(losses_path):
+                losses = list(_np.load(losses_path)[:start])
     params, opt_state, key = state["params"], state["opt_state"], state["key"]
+    best_params = state["best_params"]
+    best = float(state["best"])
+    bad = int(state["bad"])
+    ema = None if not _np.isfinite(float(state["ema"])) else float(state["ema"])
+
+    def _save(i, params, best_params, opt_state, key):
+        path = cp.maybe_save(i, {
+            "params": params,
+            "best_params": best_params,
+            "opt_state": opt_state,
+            "key": key if stochastic else jax.random.key(0),
+            "step": _jnp.asarray(i),
+            "best": _jnp.asarray(best),
+            "bad": _jnp.asarray(bad),
+            "ema": _jnp.asarray(_jnp.nan if ema is None else ema),
+        })
+        if path is not None:
+            _os.makedirs(checkpoint_dir, exist_ok=True)
+            _np.save(losses_path, _np.asarray(losses, dtype=_np.float64))
+        return path
 
     step = make_step(loss_fn, optimizer, with_key=stochastic)
-    losses = []
     t0 = time.perf_counter()
+    converged = False
     i = start
     for i in range(start, max_iters):
         if stochastic:
@@ -189,18 +227,28 @@ def train_with_checkpointing(
             params, opt_state, loss = step(params, opt_state, *loss_args, sub)
         else:
             params, opt_state, loss = step(params, opt_state, *loss_args)
-        losses.append(float(loss))
-        cp.maybe_save(i + 1, {
-            "params": params,
-            "opt_state": opt_state,
-            "key": key if stochastic else jax.random.key(0),
-            "step": _jnp.asarray(i + 1),
-        })
+        loss = float(loss)
+        losses.append(loss)
+        if not jnp.isfinite(loss):
+            break
+        crit = loss
+        if stochastic:
+            ema = loss if ema is None else 0.8 * ema + 0.2 * loss
+            crit = ema
+        if best == float("inf") or crit < best - rel_tol * max(1.0, abs(best)):
+            best, best_params, bad = crit, params, 0
+        else:
+            bad += 1
+            if bad >= patience:
+                converged = True
+        _save(i + 1, params, best_params, opt_state, key)
+        if converged:
+            break
     return TrainResult(
-        params=params,
+        params=best_params,
         losses=losses,
         iterations=i + 1 - start,
-        converged=False,
+        converged=converged,
         wall_time_s=time.perf_counter() - t0,
     )
 

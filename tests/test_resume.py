@@ -45,10 +45,49 @@ def test_resume_matches_uninterrupted_run():
             loss_args=args,
         )
         assert resumed.iterations == 10  # picked up at step 20
-        np.testing.assert_allclose(
-            part.losses[:20] + resumed.losses,
-            full.losses, rtol=1e-6,
-        )
+        # loss history spans ALL segments (persisted in losses.npy)
+        assert len(resumed.losses) == 30
+        np.testing.assert_allclose(resumed.losses[:20], part.losses, rtol=1e-6)
+        np.testing.assert_allclose(resumed.losses, full.losses, rtol=1e-6)
         fa, _ = jax.flatten_util.ravel_pytree(full.params)
         ra, _ = jax.flatten_util.ravel_pytree(resumed.params)
         np.testing.assert_allclose(np.asarray(ra), np.asarray(fa), rtol=1e-6)
+
+
+def test_checkpointed_training_converges_with_patience():
+    """train_with_checkpointing honors the same patience contract as
+    train_to_convergence: it stops early, flags converged, and a resumed
+    run continues the patience state rather than resetting it."""
+    x, y = _problem()
+    spec = ModelSpec(kernel=KernelSpec.polynomial(J=3, d=1))
+    params, buffers = init_model(KEY, spec, x.shape[1])
+    loss = lambda p, b, xx, yy: -exact_mll(spec, p, b, xx, yy) / 40
+    args = (buffers, x, y)
+
+    with tempfile.TemporaryDirectory() as d:
+        res = train_with_checkpointing(
+            loss, params, os.path.join(d, "a"),
+            max_iters=500, patience=5, rel_tol=1e-3,
+            checkpoint_every=10, loss_args=args,
+        )
+    assert res.converged
+    assert res.iterations < 500
+    # best-params contract: returned params scored the best loss seen
+    assert min(res.losses) <= res.losses[-1] + 1e-12
+
+    # convergence state survives resume: run 10 steps of an already-flat
+    # objective, resume, and the combined run must still stop early
+    flat = lambda p, b, xx, yy: -exact_mll(spec, p, b, xx, yy) * 0.0
+    with tempfile.TemporaryDirectory() as d:
+        ckdir = os.path.join(d, "b")
+        train_with_checkpointing(
+            flat, params, ckdir, max_iters=10, patience=12, rel_tol=1e-3,
+            checkpoint_every=5, loss_args=args,
+        )
+        resumed = train_with_checkpointing(
+            flat, params, ckdir, max_iters=100, patience=12, rel_tol=1e-3,
+            checkpoint_every=5, loss_args=args,
+        )
+    # 10 flat steps before + patience 12 -> stops ~3 steps in, not 12
+    assert resumed.converged
+    assert resumed.iterations <= 6

@@ -64,7 +64,10 @@ def test_runner_iterative_dispatch_band():
         ])
         rows = list(csv.DictReader(open(out)))
         assert len(rows) == 1
-        assert float(rows[0]["rmse"]) < 1.1  # learned at least something
+        # measured 0.871 on this seed/data; a constant predictor on
+        # z-scored targets scores ~1.0 — the band must separate the two
+        assert float(rows[0]["rmse"]) < 0.93
+        assert float(rows[0]["nll"]) < 1.40  # constant predictor ~1.42
 
 
 def test_runner_rejects_unknown_dataset():

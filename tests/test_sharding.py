@@ -235,8 +235,6 @@ def test_component_sharded_mll_and_grads_match_exact():
     """2-D mesh (data x comp): DP + the TP/EP analog. Value parity vs the
     dense oracle and gradient parity vs the exact gradient direction."""
     cpus = _cpus()
-    mesh = sharding.make_mesh.__wrapped__(cpus[:8]) if hasattr(
-        sharding.make_mesh, "__wrapped__") else None
     import numpy as _np
     from jax.sharding import Mesh
 
@@ -318,3 +316,41 @@ def test_component_sharded_gradient_direction():
     gi = np.asarray(gi, np.float64)
     cos = ge @ gi / (np.linalg.norm(ge) * np.linalg.norm(gi))
     assert cos > 0.99, cos
+
+
+def test_prepared_ski_state_matches_instep_build():
+    """Hoisted SKI geometry (prepare_distributed_ski) must reproduce the
+    in-step build exactly: same loss from the same step/key, on both a
+    1-D data mesh and a 2-D data x comp mesh."""
+    import numpy as _np
+    from jax.sharding import Mesh
+
+    n = 128
+    x, y = _data(n=n)
+    spec = ModelSpec(
+        kernel=KernelSpec.polynomial(J=4, d=1, ski=True, grid_size=64),
+        cg_max_iters=30, precond_rank=0, num_probes=8,
+    )
+    cpus = _cpus()
+    meshes = [
+        _mesh(),
+        Mesh(_np.asarray(cpus[:8]).reshape(4, 2), axis_names=("data", "comp")),
+    ]
+    for mesh in meshes:
+        params, buffers = init_model(KEY, spec, 4)
+        opt = optax.adam(0.1)
+        step = sharding.make_distributed_train_step(spec, mesh, opt, n_global=n)
+        xs = sharding.shard_rows(x, mesh)
+        ys = sharding.shard_rows(y, mesh)
+        params = sharding.replicate(params, mesh)
+        buffers = sharding.replicate(buffers, mesh)
+        st = sharding.prepare_distributed_ski(spec, params, buffers, xs, mesh)
+        assert st is not None and st.i0 is None  # dense plan, no sort fields
+
+        k = jax.random.key(11)
+        opt_state = opt.init(params)
+        _, _, loss_instep = step(params, buffers, opt_state, xs, ys, k)
+        opt_state = opt.init(params)
+        _, _, loss_hoist = step(params, buffers, opt_state, xs, ys, k, st)
+        np.testing.assert_allclose(float(loss_hoist), float(loss_instep),
+                                   rtol=1e-5)
