@@ -392,6 +392,30 @@ _DENSE_BLOCK = 4096
 _DENSE_PREC = jax.lax.Precision.HIGH
 
 
+def _use_pallas_interp() -> bool:
+    """Pallas one-hot interp kernels (ops/pallas_interp.py): 2.5x the XLA
+    dense plan per direction on TPU (46 vs 113 ms at n=1.8M, J=20, m=512
+    — docs/BENCHMARKS.md r2). Env RPAGP_NO_PALLAS_INTERP=1 forces XLA."""
+    import os
+
+    if os.environ.get("RPAGP_NO_PALLAS_INTERP", "0") == "1":
+        return False
+    from . import pallas_interp
+
+    return pallas_interp.on_tpu()
+
+
+def _pallas_pad(tfrac):
+    from . import pallas_interp as pi
+
+    J, n = tfrac.shape
+    n_pad = -(-n // pi.BN) * pi.BN
+    if n_pad != n:
+        tfrac = jnp.pad(tfrac, ((0, 0), (0, n_pad - n)),
+                        constant_values=-100.0)
+    return tfrac, n_pad
+
+
 def _dense_blocks(tfrac):
     """Pad tfrac to a whole number of blocks. Padded slots get tfrac
     -100: every cubic weight is exactly 0, so they contribute nothing."""
@@ -406,6 +430,15 @@ def _dense_blocks(tfrac):
 
 def _dense_interp_transpose_impl(state: SKIState, V):
     """W^T V per component: V (n, t) -> (J, t, m)."""
+    if _use_pallas_interp():
+        from . import pallas_interp as pi
+
+        tf, n_pad = _pallas_pad(state.tfrac)
+        VT = V.T
+        if n_pad != V.shape[0]:
+            VT = jnp.pad(VT, ((0, 0), (0, n_pad - V.shape[0])))
+        return pi.transpose_call(tf, VT.astype(jnp.float32),
+                                 state.m).astype(V.dtype)
     cells = state.cells
     J, n = state.tfrac.shape
     t = V.shape[1]
@@ -430,6 +463,13 @@ def _dense_interp_transpose_impl(state: SKIState, V):
 
 def _dense_interp_apply_sum_impl(state: SKIState, G):
     """sum_j W_j G_j: G (J, t, m) -> (n, t)."""
+    if _use_pallas_interp():
+        from . import pallas_interp as pi
+
+        n = state.tfrac.shape[1]
+        tf, n_pad = _pallas_pad(state.tfrac)
+        out = pi.apply_sum_call(tf, G.astype(jnp.float32))
+        return out[:, :n].T.astype(G.dtype)
     cells = state.cells
     J, n = state.tfrac.shape
     t = G.shape[1]
