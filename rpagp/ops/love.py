@@ -34,7 +34,8 @@ class LoveCache(NamedTuple):
     noise: jax.Array  # ()
 
 
-def lanczos(A_mvm: Callable, v0, rank: int, restart_key=None):
+def lanczos(A_mvm: Callable, v0, rank: int, restart_key=None, rsum=None,
+            fresh=None):
     """Lanczos tridiagonalization of the SPD operator A with full
     reorthogonalization and BREAKDOWN RESTARTS. Returns (Q (n, r), T (r, r)).
 
@@ -43,31 +44,43 @@ def lanczos(A_mvm: Callable, v0, rank: int, restart_key=None):
     breakdown the next direction restarts from a fresh pseudo-random
     vector orthogonalized against everything built — block-Lanczos
     behavior; the connecting beta is set to 0 so T stays faithful.
+
+    SPMD support (parallel/sharding.distributed_posterior): when v0 holds
+    only the LOCAL rows of a row-sharded vector, pass `rsum` (the psum
+    over the data axis) so every row-space contraction (Q^T v, q·v,
+    norms) reduces globally, and pass `fresh` as the (rank, n_local)
+    local slice of a GLOBALLY CONSISTENT random table (each device must
+    see the same global restart vectors). Q comes back row-local; T is
+    replicated (built from reduced scalars only).
     """
     n = v0.shape[0]
-    q0 = v0 / jnp.linalg.norm(v0)
-    if restart_key is None:
-        restart_key = jax.random.key(0)
-    fresh = jax.random.normal(restart_key, (rank, n), v0.dtype)
+    if rsum is None:
+        rsum = lambda s: s
+    nrm = lambda v: jnp.sqrt(rsum(jnp.sum(v * v)))
+    q0 = v0 / nrm(v0)
+    if fresh is None:
+        if restart_key is None:
+            restart_key = jax.random.key(0)
+        fresh = jax.random.normal(restart_key, (rank, n), v0.dtype)
 
     def orth(Q, v):
-        v = v - Q @ (Q.T @ v)
-        return v - Q @ (Q.T @ v)  # twice is enough (Parlett)
+        v = v - Q @ rsum(Q.T @ v)
+        return v - Q @ rsum(Q.T @ v)  # twice is enough (Parlett)
 
     def step(carry, i):
         Q, q, beta_prev, q_prev = carry
         v = A_mvm(q[:, None])[:, 0]
-        alpha = q @ v
+        alpha = rsum(q @ v)
         v = v - alpha * q - beta_prev * q_prev
         # full reorth against everything built so far (cols >= i are zero,
         # so using all of Q is shape-static AND correct)
         Qi = Q.at[:, i].set(q)
         v = orth(Qi, v)
-        beta = jnp.linalg.norm(v)
+        beta = nrm(v)
         broke = beta < 1e-6
         # restart direction: fresh vector orthogonal to the whole basis
         r = orth(Qi, fresh[i])
-        r = r / jnp.maximum(jnp.linalg.norm(r), 1e-20)
+        r = r / jnp.maximum(nrm(r), 1e-20)
         q_next = jnp.where(broke, r, v / jnp.where(broke, 1.0, beta))
         beta_out = jnp.where(broke, 0.0, beta)
         return (Qi, q_next, beta_out, q), (alpha, beta_out)
@@ -86,16 +99,17 @@ def lanczos(A_mvm: Callable, v0, rank: int, restart_key=None):
 
 
 def build_love_cache(A_mvm: Callable, y_centered, noise, rank: int,
-                     alpha=None) -> LoveCache:
+                     alpha=None, rsum=None, fresh=None) -> LoveCache:
     """Lanczos cache + mean cache. `alpha` (A^{-1} y_c) may be passed in
-    if already computed by the CG mean solve."""
-    Q, T = lanczos(A_mvm, y_centered, rank)
+    if already computed by the CG mean solve. rsum/fresh: see `lanczos`
+    (SPMD row-sharded mode; Q and alpha come back row-local)."""
+    Q, T = lanczos(A_mvm, y_centered, rank, rsum=rsum, fresh=fresh)
     # T is similar to A restricted to the Krylov space — SPD; jitter for f32
     T = T + 1e-6 * jnp.eye(T.shape[0], dtype=T.dtype)
     T_chol = jax.lax.linalg.cholesky(T)
     if alpha is None:
         # A^{-1} y ~= Q T^{-1} Q^T y (exact when Lanczos ran to grade)
-        qty = Q.T @ y_centered
+        qty = Q.T @ y_centered if rsum is None else rsum(Q.T @ y_centered)
         alpha = Q @ jax.scipy.linalg.cho_solve((T_chol, True), qty)
     return LoveCache(Q=Q, T_chol=T_chol, alpha=alpha, noise=noise)
 

@@ -49,8 +49,18 @@ AXIS = "data"
 
 
 def make_mesh(devices=None, axis: str = AXIS) -> Mesh:
-    """1-D data mesh over all (or the given) devices."""
-    devices = jax.devices() if devices is None else devices
+    """1-D data mesh over all (or the given) devices.
+
+    Honors jax_default_device (repo convention — the axon TPU plugin in
+    this image ignores JAX_PLATFORMS=cpu, so CPU-pinned programs must not
+    silently mesh over the TPU): when a default device is pinned, the
+    mesh spans all devices of ITS platform."""
+    if devices is None:
+        dflt = jax.config.jax_default_device
+        if dflt is not None:
+            devices = jax.devices(dflt.platform)
+        else:
+            devices = jax.devices()
     import numpy as np
 
     return Mesh(np.asarray(devices), axis_names=(axis,))
@@ -105,26 +115,33 @@ def ring_mvm(kspec, kparams, kbuffers, x_local, v_local, axis: str = AXIS,
 
 
 def sharded_ski_mvm(kspec, kparams, state_local: ski.SKIState, v_local,
-                    axis: str = AXIS):
+                    axis: str = AXIS, state_out: ski.SKIState = None):
     """K_ski V rows for the local shard. Runs INSIDE shard_map.
 
     state_local holds the interpolation geometry of the LOCAL rows against
     the GLOBAL grid (same grid on every device — build with global
     z_bounds). W^T scatter is local; one psum merges (J, m, t) grid
     partials; Toeplitz FFT + gather are local.
+
+    state_out: geometry of the OUTPUT rows for cross-covariances
+    K(out, train) V — e.g. replicated test-point geometry on the same
+    grid (the distributed LOVE/mean cross-MVM). Defaults to state_local
+    (the square K(train, train) V of training).
     """
-    col = ski.toeplitz_columns(kspec, kparams, state_local)  # (J, m)
+    if state_out is None:
+        state_out = state_local
+    col = ski.toeplitz_columns(kspec, kparams, state_out)  # (J, m)
     scales = kernels._component_scales(kspec, kparams, v_local.dtype)
     if state_local.order is None:  # dense plan (KernelSpec.interp)
         U = ski.dense_interp_transpose(state_local, v_local)
         U = jax.lax.psum(U, axis)  # grid-sized ICI traffic
         TU = ski.sym_toeplitz_matmul(col, U)
-        return ski.dense_interp_apply_sum(state_local,
+        return ski.dense_interp_apply_sum(state_out,
                                           scales[:, None, None] * TU)
     U = ski.interp_transpose(state_local, v_local)  # (J, t, m) partial
     U = jax.lax.psum(U, axis)  # grid-sized ICI traffic
     TU = ski.sym_toeplitz_matmul(col, U)
-    WTU = ski.interp_apply(state_local, TU)  # (J, t, n) back to local rows
+    WTU = ski.interp_apply(state_out, TU)  # (J, t, n_out) output rows
     return jnp.tensordot(scales, WTU, axes=1).T
 
 
@@ -231,6 +248,45 @@ def _ski_state_in_specs(comp_axis):
                         bounds=None)
 
 
+def _psum_dot(a, b, axis: str):
+    return jax.lax.psum(jnp.sum(a * b, axis=0), axis)
+
+
+def sharded_pcg(A_mvm, B, M_inv, iters: int, tol: float, axis: str = AXIS):
+    """Batched preconditioned CG on row-sharded columns B (n/dev, t).
+    Runs INSIDE shard_map: every dot-product reduction carries a psum
+    over `axis` (vector-sized ICI traffic). Mirrors ops.cg.batched_pcg
+    (convergence masks freeze columns so Lanczos coefficients stay
+    clean). Returns (solution (n/dev, t), alphas (iters, t), betas)."""
+    X0 = jnp.zeros_like(B)
+    R0, Z0 = B, M_inv(B)
+    rz0 = _psum_dot(R0, Z0, axis)
+    b_norm = jnp.sqrt(_psum_dot(B, B, axis))
+    b_norm = jnp.where(b_norm < 1e-20, 1.0, b_norm)
+
+    def step(carry, _):
+        Xs, R, Zp, Pd, rz = carry
+        resid = jnp.sqrt(_psum_dot(R, R, axis)) / b_norm
+        active = resid > tol
+        V = A_mvm(Pd)
+        pv = _psum_dot(Pd, V, axis)
+        alpha = rz / jnp.where(jnp.abs(pv) < 1e-20, 1e-20, pv)
+        alpha = jnp.where(active, alpha, 0.0)
+        Xs = Xs + alpha * Pd
+        R = R - alpha * V
+        Zp = M_inv(R)
+        rz_new = _psum_dot(R, Zp, axis)
+        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
+        beta = jnp.where(active, beta, 0.0)
+        Pd = Zp + beta * Pd
+        return (Xs, R, Zp, Pd, rz_new), (alpha, beta)
+
+    (solves, _, _, _, _), (alphas, betas) = jax.lax.scan(
+        step, (X0, R0, Z0, Z0, rz0), None, length=iters
+    )
+    return solves, alphas, betas
+
+
 def distributed_mll(spec: ModelSpec, params, buffers, x_local, y_local,
                     eps_big_local, axis: str = AXIS, pre_L_local=None,
                     pre_chol_small=None, pre_logdet=None,
@@ -304,9 +360,6 @@ def distributed_mll(spec: ModelSpec, params, buffers, x_local, y_local,
         return kmvm(psg, V) + nsg * V
 
     # ---- preconditioner apply + probes (Woodbury; k-dim psum) ----
-    def psum_dot(a, b):
-        return jax.lax.psum(jnp.sum(a * b, axis=0), axis)
-
     if has_pre:
         Lp = jax.lax.stop_gradient(pre_L_local)  # (n/dev, k)
         Cs = jax.lax.stop_gradient(pre_chol_small)  # (k, k) replicated
@@ -330,33 +383,8 @@ def distributed_mll(spec: ModelSpec, params, buffers, x_local, y_local,
         precond_logdet = n * jnp.log(nsg)
 
     B = jnp.concatenate([jax.lax.stop_gradient(yc)[:, None], Z], axis=1)
-    X0 = jnp.zeros_like(B)
-    R0, Z0 = B, M_inv(B)
-    rz0 = psum_dot(R0, Z0)
-    b_norm = jnp.sqrt(psum_dot(B, B))
-    b_norm = jnp.where(b_norm < 1e-20, 1.0, b_norm)
-
-    def step(carry, _):
-        Xs, R, Zp, Pd, rz = carry
-        # convergence mask per column (same as ops.cg.batched_pcg): frozen
-        # columns stop updating so their Lanczos coefficients stay clean
-        resid = jnp.sqrt(psum_dot(R, R)) / b_norm
-        active = resid > spec.cg_tol
-        V = A_mvm_sg(Pd)
-        pv = psum_dot(Pd, V)
-        alpha = rz / jnp.where(jnp.abs(pv) < 1e-20, 1e-20, pv)
-        alpha = jnp.where(active, alpha, 0.0)
-        Xs = Xs + alpha * Pd
-        R = R - alpha * V
-        Zp = M_inv(R)
-        rz_new = psum_dot(R, Zp)
-        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
-        beta = jnp.where(active, beta, 0.0)
-        Pd = Zp + beta * Pd
-        return (Xs, R, Zp, Pd, rz_new), (alpha, beta)
-
-    (solves, _, _, _, _), (alphas, betas) = jax.lax.scan(
-        step, (X0, R0, Z0, Z0, rz0), None, length=spec.cg_max_iters
+    solves, alphas, betas = sharded_pcg(
+        A_mvm_sg, B, M_inv, spec.cg_max_iters, spec.cg_tol, axis
     )
     solves = jax.lax.stop_gradient(solves)
     alphas = jax.lax.stop_gradient(alphas)
@@ -480,3 +508,236 @@ def make_distributed_train_step(spec: ModelSpec, mesh: Mesh, optimizer,
         return params, opt_state, loss
 
     return step
+
+
+# ---------------------------------------------------------------------------
+# Distributed posterior: sharded mean solve + sharded LOVE cache + replicated
+# cross-MVMs — prediction never falls back to one device
+# ---------------------------------------------------------------------------
+
+
+def distributed_posterior(spec: ModelSpec, params, buffers, x_local, y_local,
+                          x_test, fresh_local, axis: str = AXIS,
+                          pre_L_local=None, pre_chol_small=None,
+                          comp_axis=None, observation_noise: bool = True,
+                          var_chunk: int = 256, var_tol: float = 1e-2):
+    """Posterior predictive (mu, var) at replicated test points from
+    row-sharded training data. Runs INSIDE shard_map; outputs replicated.
+
+    The SPMD mirror of ops.iterative.iterative_posterior (reference
+    analog: [G] exact_prediction_strategies.py eval path — SURVEY.md §3.4):
+
+      * mean cache  alpha = A^{-1} y_c  by one tight-tolerance sharded
+        batched PCG (all dot products psum over the data axis);
+      * variances via a SHARDED LOVE CACHE when spec.love_rank > 0:
+        Lanczos runs over the ring/grid-psum MVM with row-local Q and
+        psum-reduced scalar recurrences (ops.love.lanczos rsum mode), so
+        the (n, r) basis never leaves its shards; the test-side cross-MVM
+        K(x*, X) [alpha | Q] costs one psum of (n_test, r) partials
+        (dense kernel) or one grid-sized psum (SKI);
+      * spec.love_rank == 0 falls back to chunked-CG variances — each
+        test chunk's K(X, chunk) columns stay row-local and the chunk
+        solve reuses the sharded PCG.
+
+    fresh_local: (rank, n/dev) LOCAL SLICE of one globally-consistent
+    normal table (Lanczos breakdown restarts must agree across devices).
+    pre_L_local / pre_chol_small: optional row-sharded pivoted-Cholesky
+    preconditioner (non-SKI path), as in distributed_mll.
+    """
+    noise = exact_gp.noise_value(params)
+    n_test = x_test.shape[0]
+
+    if comp_axis is not None:
+        kspec, params_l, buffers_l, _ = _slice_components(
+            spec, params, buffers, comp_axis
+        )
+        csize = jax.lax.axis_size(comp_axis)
+        w_fix = 1.0 / csize
+        comp_psum = lambda v: jax.lax.psum(v, comp_axis)
+    else:
+        kspec = spec.kernel
+        params_l, buffers_l = params, buffers
+        w_fix = 1.0
+        comp_psum = lambda v: v
+    kp, kb = params_l["kernel"], buffers_l["kernel"]
+
+    yc = y_local - exact_gp.mean_fn(spec, params, x_local)
+
+    # ---- geometry + kernel closures ----
+    st_train = st_test = None
+    if kspec.ski:
+        # one shared grid covering the union of train (global, via
+        # pmin/pmax over shards) and test (replicated) projections, so the
+        # cross-covariance W_test T W_train^T is consistent and test
+        # points outside the train range keep interior taps
+        z_tr = ski.project(kspec, kp, kb, x_local)
+        z_te = ski.project(kspec, kp, kb, x_test)
+        lo = jnp.minimum(jax.lax.pmin(jnp.min(z_tr, axis=1), axis),
+                         jnp.min(z_te, axis=1))
+        hi = jnp.maximum(jax.lax.pmax(jnp.max(z_tr, axis=1), axis),
+                         jnp.max(z_te, axis=1))
+        st_train = ski.build_ski(kspec, kp, kb, x_local, kspec.grid_size,
+                                 z_bounds=(lo, hi))
+        st_test = ski.build_ski(kspec, kp, kb, x_test, kspec.grid_size,
+                                z_bounds=(lo, hi))
+
+        def kmvm(V):  # K(X, X) V rows for the local shard
+            return comp_psum(
+                w_fix * sharded_ski_mvm(kspec, kp, st_train, V, axis))
+
+        def cross(V):  # K(x_test, X) V — replicated (n_test, t)
+            return comp_psum(w_fix * sharded_ski_mvm(
+                kspec, kp, st_train, V, axis, state_out=st_test))
+
+        def kd_diag(state, n_pts):
+            return comp_psum(
+                w_fix * ski.ski_gram_diag(kspec, kp, state, n_pts))
+    else:
+
+        def kmvm(V):
+            return comp_psum(
+                w_fix * ring_mvm(kspec, kp, kb, x_local, V, axis))
+
+        def cross(V):
+            part = kernels.mvm(kspec, kp, kb, x_test, x_local, V)
+            return comp_psum(w_fix * jax.lax.psum(part, axis))
+
+        def kd_diag(_, __):
+            return comp_psum(w_fix * kernels.gram_diag(kspec, kp, kb, x_test))
+
+    A_mvm = lambda V: kmvm(V) + noise * V
+    rsum = lambda s: jax.lax.psum(s, axis)
+
+    if pre_L_local is not None:
+        Lp, Cs = pre_L_local, pre_chol_small
+
+        def M_inv(R):
+            u = jax.lax.psum(
+                jnp.matmul(Lp.T, R, precision=jax.lax.Precision.HIGHEST),
+                axis)
+            w = jax.scipy.linalg.cho_solve((Cs, True), u)
+            return (R - jnp.matmul(
+                Lp, w, precision=jax.lax.Precision.HIGHEST)) / noise
+    else:
+        M_inv = lambda R: R / noise
+
+    # ---- mean cache: alpha = A^{-1} y_c, one tight sharded CG ----
+    sol, _, _ = sharded_pcg(A_mvm, yc[:, None], M_inv,
+                            4 * spec.cg_max_iters, 1e-4, axis)
+    alpha = sol[:, 0]
+    mu = cross(alpha[:, None])[:, 0] + exact_gp.mean_fn(spec, params, x_test)
+
+    if spec.love_rank > 0:
+        from ..ops import love
+
+        Q, T = love.lanczos(A_mvm, yc, spec.love_rank, rsum=rsum,
+                            fresh=fresh_local)
+        T = T + 1e-6 * jnp.eye(T.shape[0], dtype=T.dtype)
+        T_chol = jax.lax.linalg.cholesky(T)
+        K_star_Q = cross(Q)  # (n_test, r) replicated
+        w = jax.lax.linalg.triangular_solve(
+            T_chol, K_star_Q.T, left_side=True, lower=True)
+        var = kd_diag(st_test, n_test) - jnp.sum(w * w, axis=0)
+        var = jnp.maximum(var, 1e-10)
+        if observation_noise:
+            var = var + noise
+        return mu, var
+
+    # ---- chunked-CG variances (love_rank == 0) ----
+    nc = -(-n_test // var_chunk)
+    pad = nc * var_chunk - n_test
+    kd_full = jnp.pad(kd_diag(st_test, n_test), (0, pad))
+    kd_chunks = kd_full.reshape(nc, var_chunk)
+    if kspec.ski:
+        # chunk geometry = column slices of the test state's tfrac (the
+        # grid is shared, so no rebuild); padded slots get tfrac -100 —
+        # all-zero taps, zero contribution (see ski._dense_blocks)
+        tf = jnp.pad(st_test.tfrac, ((0, 0), (0, pad)),
+                     constant_values=-100.0)
+        J = tf.shape[0]
+        chunk_geom = tf.reshape(J, nc, var_chunk).transpose(1, 0, 2)
+        col = ski.toeplitz_columns(kspec, kp, st_train)
+        scales = kernels._component_scales(kspec, kp, x_local.dtype)
+    else:
+        xt_pad = jnp.pad(x_test, ((0, pad), (0, 0)))
+        chunk_geom = xt_pad.reshape(nc, var_chunk, x_test.shape[1])
+
+    def chunk_var(inp):
+        geom, kd_c = inp
+        eye = jnp.eye(var_chunk, dtype=x_local.dtype)
+        if kspec.ski:
+            st_c = st_test._replace(tfrac=geom)
+            if st_train.order is None:
+                U = ski.dense_interp_transpose(st_c, eye)  # replicated
+                TU = ski.sym_toeplitz_matmul(col, U)
+                Kc = ski.dense_interp_apply_sum(
+                    st_train, scales[:, None, None] * TU)  # (n/dev, c)
+            else:
+                # sorted-plan chunk states would need a per-chunk sort;
+                # build from scratch on the shared grid
+                raise NotImplementedError(
+                    "distributed chunked variances require the dense "
+                    "interp plan (or set spec.love_rank > 0)")
+            Kc = comp_psum(w_fix * Kc)
+        else:
+            Kc = comp_psum(w_fix * kernels.mvm(
+                kspec, kp, kb, x_local, geom, eye))  # (n/dev, c)
+        sol_c, _, _ = sharded_pcg(A_mvm, Kc, M_inv,
+                                  2 * spec.cg_max_iters, var_tol, axis)
+        return kd_c - jax.lax.psum(jnp.sum(Kc * sol_c, axis=0), axis)
+
+    var = jax.lax.map(chunk_var, (chunk_geom, kd_chunks)).reshape(-1)
+    var = jnp.maximum(var[:n_test], 1e-10)
+    if observation_noise:
+        var = var + noise
+    return mu, var
+
+
+def make_distributed_posterior(spec: ModelSpec, mesh: Mesh, n_global: int,
+                               observation_noise: bool = True,
+                               var_chunk: int = 256, dtype=jnp.float32):
+    """One jit'd SPMD posterior: (params, buffers, x_sharded, y_sharded,
+    x_test, key) -> (mu, var) at the test points, computed WITHOUT
+    gathering the training set onto one device. Companion to
+    make_distributed_train_step — call it on the trained params."""
+    comp_axis = COMP_AXIS if COMP_AXIS in mesh.axis_names else None
+    use_pre = spec.precond_rank > 0 and not spec.kernel.ski
+    rank = max(spec.love_rank, 1)
+
+    def local_fn(params, buffers, x_local, y_local, x_test, fresh_local,
+                 Lp, Cs):
+        return distributed_posterior(
+            spec, params, buffers, x_local, y_local, x_test, fresh_local,
+            pre_L_local=Lp if use_pre else None,
+            pre_chol_small=Cs if use_pre else None,
+            comp_axis=comp_axis, observation_noise=observation_noise,
+            var_chunk=var_chunk,
+        )
+
+    in_axis = P(AXIS)
+
+    @jax.jit
+    def predict(params, buffers, x_sharded, y_sharded, x_test, key):
+        smapped = jax.shard_map(
+            local_fn, mesh=mesh,
+            in_specs=(P(), P(), in_axis, in_axis, P(), P(None, AXIS),
+                      in_axis, P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        fresh = jax.random.normal(key, (rank, n_global), dtype)
+        if use_pre:
+            x_full = jax.lax.with_sharding_constraint(
+                x_sharded, NamedSharding(mesh, P()))
+            noise = exact_gp.noise_value(params)
+            pre = precond.build_preconditioner(
+                spec.kernel, params["kernel"], buffers["kernel"], x_full,
+                noise, spec.precond_rank)
+            Lfull, Cs = pre.L, pre.chol_small
+        else:
+            Lfull = jnp.zeros((n_global, 1), dtype)
+            Cs = jnp.eye(1, dtype=dtype)
+        return smapped(params, buffers, x_sharded, y_sharded, x_test,
+                       fresh, Lfull, Cs)
+
+    return predict

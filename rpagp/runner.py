@@ -132,7 +132,7 @@ def _run_split_svgp(exp: ExperimentSpec, x, y, xt, yt, seed: int):
 
 def _run_split_distributed(exp: ExperimentSpec, x, y, xt, yt, seed: int):
     """Multi-chip branch: row-sharded SPMD training over the full device
-    mesh (parallel/sharding.py), single-host prediction afterwards."""
+    mesh (parallel/sharding.py) and sharded posterior prediction."""
     import optax
 
     from .parallel import sharding
@@ -178,7 +178,11 @@ def _run_split_distributed(exp: ExperimentSpec, x, y, xt, yt, seed: int):
                 break
     train_time = time.perf_counter() - t0
 
-    mu, var = mll_mod.posterior(spec, best_params, buffers, x, y, xt)
+    # prediction stays on the mesh: sharded mean solve + sharded LOVE
+    # cache (or chunked sharded CG) — the training set is never gathered
+    predict = sharding.make_distributed_posterior(spec, mesh, n_global=n)
+    mu, var = predict(best_params, buffers, xs, ys, jnp.asarray(xt),
+                      jax.random.key(seed + 2))
     rmse = float(jnp.sqrt(jnp.mean((mu - yt) ** 2)))
     nll = float(gaussian_nll(yt, mu, var))
     return {

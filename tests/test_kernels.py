@@ -192,6 +192,41 @@ def test_kernel_convergence_to_limit():
     assert d_large < d_small / 3
 
 
+def test_kernel_converges_to_closed_form_limit():
+    """Gaussian projections + RBF base have a CLOSED-FORM limit kernel:
+    p^T(x-x') ~ N(0, ||x-x'||^2/D) so E[k1d] = os/sqrt(1+||x-x'||^2/(D l^2))
+    (arXiv:1912.12834 Thm 1). Checks convergence AND the O(1/J) variance
+    rate (rmse ~ 1/sqrt(J)). Full table: scripts/j_convergence.py ->
+    docs/CONVERGENCE.md (the reference's notebooks analog)."""
+    from rpagp.utils.transforms import softplus
+
+    n, D = 24, 8
+    x = _rand(jax.random.key(30), n, D)
+    ls = float(softplus(0.0))
+    os_ = float(softplus(0.0))
+    d2 = np.sum(
+        (np.asarray(x)[:, None, :] - np.asarray(x)[None, :, :]) ** 2, -1
+    )
+    K_inf = os_ / np.sqrt(1.0 + d2 / (D * ls**2))
+
+    def rmse_at(J, n_seeds=4):
+        errs = []
+        for s in range(n_seeds):
+            spec = KernelSpec.polynomial(J=J, d=1, base="rbf",
+                                         proj_dist="gaussian")
+            params, buf = init_kernel_params(jax.random.key(70 + s), spec, D)
+            K = np.asarray(gram(spec, params, buf, x, x), np.float64)
+            errs.append(np.sqrt(np.mean((K - K_inf) ** 2)))
+        return float(np.mean(errs))
+
+    r10, r640, r_big = rmse_at(10), rmse_at(640), rmse_at(1500, n_seeds=1)
+    # converges to the closed form, not merely to agreement between draws
+    assert r_big < 0.01, r_big
+    # O(1/J) variance: rmse ratio for 64x the components should be ~8
+    ratio = r10 / r640
+    assert 4.0 < ratio < 16.0, (r10, r640, ratio)
+
+
 def test_sub_dim_k_equals_kdim_rbf_oracle():
     """PolynomialProjectionKernel's k parameter: a k-dim isotropic RBF
     sub-kernel == the tied product of its k 1-D factors. Oracle: explicit

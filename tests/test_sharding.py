@@ -354,3 +354,79 @@ def test_prepared_ski_state_matches_instep_build():
         _, _, loss_hoist = step(params, buffers, opt_state, xs, ys, k, st)
         np.testing.assert_allclose(float(loss_hoist), float(loss_instep),
                                    rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# distributed posterior (VERDICT r1 #6): sharded mean solve + sharded LOVE
+# cache / chunked sharded-CG variances vs single-device oracles
+# ---------------------------------------------------------------------------
+
+
+def _posterior_setup(n=160, D=4, n_test=48, seed=21, **spec_kw):
+    x, y = _data(n=n, D=D, seed=seed)
+    xt = jax.random.normal(jax.random.key(seed + 1), (n_test, D))
+    spec = ModelSpec(**spec_kw)
+    params, buffers = init_model(KEY, spec, D)
+    return spec, params, buffers, x, y, xt
+
+
+def test_distributed_posterior_love_matches_exact():
+    from rpagp.models.exact_gp import predict as exact_predict
+
+    mesh = _mesh()
+    spec, params, buffers, x, y, xt = _posterior_setup(
+        n=240, n_test=40,
+        kernel=KernelSpec.polynomial(J=5, d=1),
+        cg_max_iters=100, cg_tol=1e-8, precond_rank=10, love_rank=120,
+    )
+    mu_e, var_e = exact_predict(spec, params, buffers, x, y, xt)
+
+    predict_d = sharding.make_distributed_posterior(spec, mesh,
+                                                    n_global=x.shape[0])
+    xs, ys = sharding.shard_rows(x, mesh), sharding.shard_rows(y, mesh)
+    mu, var = predict_d(params, buffers, xs, ys, xt, jax.random.key(33))
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_e), atol=3e-3)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_e),
+                               rtol=3e-2, atol=3e-3)
+
+
+def test_distributed_posterior_ski_chunked_matches_single_device():
+    from rpagp.ops import iterative
+
+    mesh = _mesh()
+    spec, params, buffers, x, y, xt = _posterior_setup(
+        n=160, n_test=40,
+        kernel=KernelSpec.polynomial(J=4, d=1, ski=True, grid_size=64),
+        cg_max_iters=60, cg_tol=1e-6, precond_rank=0, love_rank=0,
+    )
+    # single-device oracle: the same algorithm, unsharded
+    mu_s, var_s = iterative.iterative_posterior(
+        spec, params, buffers, x, y, xt, var_chunk=16, var_tol=1e-4)
+
+    predict_d = sharding.make_distributed_posterior(
+        spec, mesh, n_global=x.shape[0], var_chunk=16)
+    xs, ys = sharding.shard_rows(x, mesh), sharding.shard_rows(y, mesh)
+    mu, var = predict_d(params, buffers, xs, ys, xt, jax.random.key(34))
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_s), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_s),
+                               rtol=2e-2, atol=2e-3)
+
+
+def test_distributed_posterior_ski_love_matches_single_device():
+    from rpagp.ops import iterative
+
+    mesh = _mesh()
+    spec, params, buffers, x, y, xt = _posterior_setup(
+        n=160, n_test=32,
+        kernel=KernelSpec.polynomial(J=4, d=1, ski=True, grid_size=64),
+        cg_max_iters=80, cg_tol=1e-8, precond_rank=0, love_rank=80,
+    )
+    mu_s, var_s = iterative.iterative_posterior(spec, params, buffers,
+                                                x, y, xt)
+    predict_d = sharding.make_distributed_posterior(spec, mesh,
+                                                    n_global=x.shape[0])
+    xs, ys = sharding.shard_rows(x, mesh), sharding.shard_rows(y, mesh)
+    mu, var = predict_d(params, buffers, xs, ys, xt, jax.random.key(35))
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_s), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_s),
+                               rtol=3e-2, atol=3e-3)
