@@ -359,9 +359,9 @@ def mvm(
     the per-block computation is rematerialized (jax.checkpoint) so
     reverse-mode through an MVM stores O(block * t), not the Gram slabs.
     """
-    # Pallas fused Gram-MVM fast path, opt-in per call site (pallas_gram
-    # has a full custom_vjp, but the XLA route wins on some shapes — see
-    # docs/BENCHMARKS.md "Pallas vs XLA" — so callers choose explicitly).
+    # Pallas fused Gram-MVM path: needs BOTH the call-site flag and the
+    # RPAGP_PALLAS_GRAM=1 env opt-in — the XLA route measured faster on
+    # every variant tried (docs/BENCHMARKS.md "Pallas vs XLA", round 2).
     if allow_pallas and spec.is_projection:
         from . import pallas_gram
 

@@ -35,19 +35,34 @@ TILE_I = 256
 TILE_L = 512
 
 
-def _k1d_tile(base: str, diff):
-    """Stationary 1-D kernel on a (TI, TL) difference tile — VPU math."""
+def _k1d_tile(base: str, diff, bf16_exp: bool = False):
+    """Stationary 1-D kernel on a (TI, TL) difference tile — VPU math.
+
+    bf16_exp: evaluate the transcendental in bfloat16 (2 elems/lane on
+    the VPU) with f32 everywhere else. Absolute kernel-value error is
+    bounded by ~2e-3 (worst at s ~ 2 where |d exp(-s/2)/ds|*s*eps_bf16
+    peaks) — an O(1e-3) consistent perturbation of K, measured against
+    CG/MLL in scripts/bench_gram.py before it is ever the default."""
     if base == "rbf":
-        return jnp.exp(-0.5 * diff * diff)
+        s = -0.5 * diff * diff
+        if bf16_exp:
+            return jnp.exp(s.astype(jnp.bfloat16)).astype(jnp.float32)
+        return jnp.exp(s)
+
+    def _exp(v):
+        if bf16_exp:
+            return jnp.exp(v.astype(jnp.bfloat16)).astype(jnp.float32)
+        return jnp.exp(v)
+
     a = jnp.abs(diff)
     if base == "matern12":
-        return jnp.exp(-a)
+        return _exp(-a)
     if base == "matern32":
         s = _SQRT3 * a
-        return (1.0 + s) * jnp.exp(-s)
+        return (1.0 + s) * _exp(-s)
     if base == "matern52":
         s = _SQRT5 * a
-        return (1.0 + s + s * s / 3.0) * jnp.exp(-s)
+        return (1.0 + s + s * s / 3.0) * _exp(-s)
     raise ValueError(base)
 
 
@@ -68,20 +83,21 @@ def _k1d_grad_tile(base: str, diff):
     raise ValueError(base)
 
 
-def _gram_mvm_kernel(base: str, J: int, z1_ref, z2_ref, w_ref, v_ref,
-                     out_ref, ksum_ref):
+def _gram_mvm_kernel(base: str, J: int, prec, bf16_exp: bool,
+                     z1_ref, z2_ref, w_ref, v_ref, out_ref, ksum_ref):
     """One (i, l) tile: build the additive Gram tile in VMEM, contract."""
     l = pl.program_id(1)
 
     ksum_ref[:] = jnp.zeros_like(ksum_ref)
     for j in range(J):  # static unroll: J ~ 10-20 components
         d = z1_ref[:, j][:, None] - z2_ref[:, j][None, :]  # (TI, TL)
-        ksum_ref[:] += w_ref[0, j] * _k1d_tile(base, d)
+        ksum_ref[:] += w_ref[0, j] * _k1d_tile(base, d, bf16_exp)
 
     contrib = jnp.dot(
         ksum_ref[:], v_ref[:], preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (TI, T) — MXU, full-f32 passes (CG stalls on bf16 MVM noise)
+        precision=prec,
+    )  # (TI, T) — MXU; HIGH (bf16x3, ~1.5e-5) is enough for CG, the
+    # platform DEFAULT single-bf16 pass (~2e-3) is not
 
     @pl.when(l == 0)
     def _():
@@ -101,8 +117,17 @@ def _pad(a, mult, axis):
     return jnp.pad(a, widths)
 
 
-@functools.partial(jax.jit, static_argnames=("base", "interpret"))
-def _gram_mvm_fwd_call(z1, z2, w, V, base: str, interpret: bool):
+_PRECS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("base", "interpret", "prec", "bf16_exp"))
+def _gram_mvm_fwd_call(z1, z2, w, V, base: str, interpret: bool,
+                       prec: str = "highest", bf16_exp: bool = False):
     """out = K V (forward Pallas call; padding handled here)."""
     n, J = z1.shape
     m, t = V.shape[0], V.shape[1]
@@ -115,7 +140,8 @@ def _gram_mvm_fwd_call(z1, z2, w, V, base: str, interpret: bool):
     # pad rows — contributions vanish exactly.
 
     grid = (np_ // TILE_I, mp_ // TILE_L)
-    kernel = functools.partial(_gram_mvm_kernel, base, J)
+    kernel = functools.partial(_gram_mvm_kernel, base, J, _PRECS[prec],
+                               bf16_exp)
 
     out = pl.pallas_call(
         kernel,
@@ -247,12 +273,13 @@ def _gram_mvm_bwd_call(z1, z2, w, V, G_bar, base: str, interpret: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_pgm(base: str, interpret: bool):
-    """custom_vjp'd projected Gram MVM for a given (base, interpret)."""
+def _make_pgm(base: str, interpret: bool, prec: str, bf16_exp: bool):
+    """custom_vjp'd projected Gram MVM for a given static config."""
 
     @jax.custom_vjp
     def pgm(z1, z2, w, V):
-        return _gram_mvm_fwd_call(z1, z2, w, V, base, interpret)
+        return _gram_mvm_fwd_call(z1, z2, w, V, base, interpret,
+                                  prec=prec, bf16_exp=bf16_exp)
 
     def fwd(z1, z2, w, V):
         return pgm(z1, z2, w, V), (z1, z2, w, V)
@@ -260,7 +287,8 @@ def _make_pgm(base: str, interpret: bool):
     def bwd(res, G_bar):
         z1, z2, w, V = res
         # dV = K^T G_bar — the same fused forward kernel, sides swapped
-        dV = _gram_mvm_fwd_call(z2, z1, w, G_bar, base, interpret)
+        dV = _gram_mvm_fwd_call(z2, z1, w, G_bar, base, interpret,
+                                prec=prec, bf16_exp=bf16_exp)
         dz1, dw = _gram_mvm_bwd_call(z1, z2, w, V, G_bar, base, interpret)
         # dz2: swap coordinates AND values (see kernel doc); its dw output
         # equals the first pass's (k is even) and is discarded
@@ -272,24 +300,42 @@ def _make_pgm(base: str, interpret: bool):
 
 
 def projected_gram_mvm(z1, z2, w, V, base: str = "rbf",
-                       interpret: bool = False):
+                       interpret: bool = False, prec: str = "highest",
+                       bf16_exp: bool = False):
     """out = K V for the degree-1 additive projected kernel, with a full
     Pallas backward (dz1, dz2, dw, dV) — usable in differentiated code.
 
     z1: (n, J) lengthscale-scaled projected rows; z2: (m, J) columns;
     w: (J,) component weights (outputscale/J folded in); V: (m, t).
+    prec: MXU precision for the Gram-V contraction ("highest" = bf16x6,
+    "high" = bf16x3). bf16_exp: bf16 transcendentals (see _k1d_tile);
+    the backward's dz/dw kernels stay exact-f32 either way (an O(1e-3)
+    gradient inconsistency, far under the probe estimator's ~2% noise).
     """
-    return _make_pgm(base, bool(interpret))(z1, z2, w, V)
+    return _make_pgm(base, bool(interpret), prec, bool(bf16_exp))(
+        z1, z2, w, V)
 
 
 def supports(spec) -> bool:
-    """Pallas fast path applies to uniform degree-1 projection kernels."""
+    """Pallas dense-Gram path: uniform degree-1 projection kernels, and
+    OPT-IN ONLY (env RPAGP_PALLAS_GRAM=1).
+
+    Default-off decision (round 2, measured on v5e — scripts/bench_gram.py,
+    docs/BENCHMARKS.md "Pallas vs XLA"): at the config-3 shape the XLA
+    blocked MVM wins (8.6 ms) over every Pallas variant — HIGHEST 10.6,
+    DEFAULT-precision 9.6 (error 6e-3: the regime round 1 measured CG
+    stalling in), bf16-transcendental 11.3 (SLOWER: the VPU evaluates
+    exp in f32 regardless, the casts are pure overhead). Both paths are
+    exp-throughput-bound, so there is no headroom for the fused tile
+    kernel to claw back. Kept as a tested vehicle for future kernel
+    experiments, not a production default."""
     return (
         spec.is_projection
         and len(set(spec.bases)) == 1
         and all(d == 1 for d in spec.degrees)
         and spec.sub_dim == 1
         and not spec.ski
+        and os.environ.get("RPAGP_PALLAS_GRAM", "0") == "1"
         and os.environ.get("RPAGP_NO_PALLAS", "0") != "1"
     )
 

@@ -34,7 +34,11 @@ def test_pallas_gram_mvm_matches_dense(base, shape):
     np.testing.assert_allclose(got, dense, rtol=2e-4, atol=2e-4)
 
 
-def test_supports_predicate():
+def test_supports_predicate(monkeypatch):
+    # default-OFF (measured loss to XLA on v5e — see supports docstring);
+    # RPAGP_PALLAS_GRAM=1 opts in
+    assert not pallas_gram.supports(KernelSpec.polynomial(J=4, d=1))
+    monkeypatch.setenv("RPAGP_PALLAS_GRAM", "1")
     assert pallas_gram.supports(KernelSpec.polynomial(J=4, d=1))
     assert not pallas_gram.supports(KernelSpec.polynomial(J=4, d=2))
     assert not pallas_gram.supports(
