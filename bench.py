@@ -15,12 +15,12 @@ probe estimator's ~1.5e-4 floor dominates; the grid contributes nothing
 beyond m=256). Round 1 used m=4096 by fiat; m=512 keeps a 2x safety
 margin over the measured knee.
 
-vs_baseline: BASELINE.json's `published` is empty (no reference numbers
-were readable — see BASELINE.md provenance), so until a real GPyTorch
-A100 number exists we report vs_baseline as speedup against a FIXED
-PESSIMISTIC REFERENCE BUDGET of 1.0 s/step (an optimistic-for-the-
-baseline stand-in for an A100 GPyTorch SKI J=20 MLL step at 1.8M points;
-recorded here so future rounds can replace it with a measured value).
+vs_baseline: speedup vs the reference step time. No real A100 GPyTorch
+number was ever readable (BASELINE.md provenance), so the reference is
+min(1.0 s A100 stand-in budget, measured torch-CPU reference step from
+BASELINE.json.published if present) — the min keeps the comparison
+conservative: a slow CPU measurement can never inflate our speedup.
+See reference_step_s().
 """
 
 from __future__ import annotations
@@ -32,7 +32,28 @@ import time
 import jax
 import jax.numpy as jnp
 
-REFERENCE_STEP_S = 1.0  # documented stand-in; replace with measured A100 number
+REFERENCE_STEP_S = 1.0  # A100 stand-in budget (see module docstring)
+
+
+def reference_step_s(n: int) -> float:
+    """Reference step time to compare against, CONSERVATIVELY.
+
+    BASELINE.json.published now carries MEASURED torch-CPU numbers for
+    the reference implementation (scripts/torch_baseline.py; this
+    machine has 1 CPU core — a floor, not an A100 proxy). To keep
+    vs_baseline honest we use the SMALLER of the measured reference and
+    the 1.0 s A100 stand-in: the torch-CPU number can only make the
+    reference look slower, never us faster."""
+    if n != 1_800_000:
+        return REFERENCE_STEP_S  # published config-5 is 1.8M-only
+    try:
+        with open(os.path.join(os.path.dirname(__file__),
+                               "BASELINE.json")) as f:
+            pub = json.load(f).get("published", {})
+        meas = pub["torch_cpu_measured"]["houseelectric_rpa_j20_ski"]["step_s"]
+        return min(REFERENCE_STEP_S, float(meas))
+    except (OSError, KeyError, TypeError, ValueError):
+        return REFERENCE_STEP_S
 
 
 def main():
@@ -82,7 +103,7 @@ def main():
                 "metric": f"rpagp_J20_ski_mll_step_n{n}",
                 "value": round(dt * 1e3, 3),
                 "unit": "ms/step",
-                "vs_baseline": round(REFERENCE_STEP_S / dt, 3),
+                "vs_baseline": round(reference_step_s(n) / dt, 3),
             }
         )
     )
