@@ -48,3 +48,34 @@ def posterior(spec: ModelSpec, params, buffers, x_train, y_train, x_test,
         spec, params, buffers, x_train, y_train, x_test,
         observation_noise=observation_noise,
     )
+
+
+def posterior_cov(spec: ModelSpec, params, buffers, x_train, y_train,
+                  x_test, observation_noise: bool = False):
+    """Posterior (mean, FULL covariance) at a modest test batch, with the
+    same size dispatch ([G] exact_prediction_strategies.py predictive
+    covar: exact Cholesky small-n, LOVE / CG solves large-n)."""
+    n = x_train.shape[0]
+    if n <= spec.max_cholesky_size and not spec.kernel.ski:
+        from .models.exact_gp import predict_cov
+
+        return predict_cov(spec, params, buffers, x_train, y_train, x_test,
+                           observation_noise=observation_noise)
+    from .ops.iterative import iterative_posterior_cov
+
+    return iterative_posterior_cov(
+        spec, params, buffers, x_train, y_train, x_test,
+        observation_noise=observation_noise,
+    )
+
+
+def sample_posterior(spec: ModelSpec, params, buffers, x_train, y_train,
+                     x_test, key, num_samples: int = 8,
+                     observation_noise: bool = False):
+    """Joint posterior function draws at x_test — (num_samples, n_test)
+    (the reference's `pred.rsample()`; [G] multivariate_normal.rsample)."""
+    from .ops.exact import mvn_sample
+
+    mu, cov = posterior_cov(spec, params, buffers, x_train, y_train, x_test,
+                            observation_noise=observation_noise)
+    return mvn_sample(key, mu, cov, num_samples, jitter=spec.jitter)

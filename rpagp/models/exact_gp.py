@@ -130,3 +130,21 @@ def predict(spec: ModelSpec, params, buffers, x_train, y_train, x_test,
         K_star, k_diag, L, alpha, noise=noise if observation_noise else None
     )
     return mean_delta + mean_fn(spec, params, x_test), var
+
+
+def predict_cov(spec: ModelSpec, params, buffers, x_train, y_train, x_test,
+                observation_noise: bool = False):
+    """Posterior (mean, FULL covariance) at x_test — exact Cholesky path
+    ([G] exact_prediction_strategies.py exact_predictive_covar)."""
+    kspec, kp, kb = spec.kernel, params["kernel"], buffers["kernel"]
+    K = kernels.gram(kspec, kp, kb, x_train, x_train)
+    yc = y_train - mean_fn(spec, params, x_train)
+    noise = noise_value(params)
+    L, alpha = exact.cholesky_posterior_cache(K, yc, noise, spec.jitter)
+    K_star = kernels.gram(kspec, kp, kb, x_test, x_train)
+    K_ss = kernels.gram(kspec, kp, kb, x_test, x_test)
+    mu = jnp.matmul(K_star, alpha, precision=jax.lax.Precision.HIGHEST)
+    cov = exact.posterior_cov_from_cache(
+        K_star, K_ss, L, noise=noise if observation_noise else None
+    )
+    return mu + mean_fn(spec, params, x_test), cov

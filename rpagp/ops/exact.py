@@ -74,6 +74,39 @@ def posterior_from_cache(K_star, k_diag_star, L, alpha, noise=None):
     return mean, var
 
 
+def posterior_cov_from_cache(K_star, K_star_star, L, noise=None):
+    """FULL posterior covariance at a test batch from the Cholesky cache:
+
+        cov = K** - K* (K + s^2 I)^{-1} K*^T = K** - v^T v,  v = L^{-1} K*^T
+
+    ([G] exact_prediction_strategies.py exact_predictive_covar —
+    unverified, SURVEY.md §3.3). Returns the LATENT covariance;
+    `noise` adds the likelihood's observation noise on the diagonal.
+    """
+    v = jax.lax.linalg.triangular_solve(
+        L, K_star.T, left_side=True, lower=True
+    )
+    cov = K_star_star - jnp.matmul(
+        v.T, v, precision=jax.lax.Precision.HIGHEST
+    )
+    cov = 0.5 * (cov + cov.T)  # symmetrize f32 roundoff
+    if noise is not None:
+        cov = cov + noise * jnp.eye(cov.shape[0], dtype=cov.dtype)
+    return cov
+
+
+def mvn_sample(key, mean, cov, num_samples: int, jitter: float = 1e-6):
+    """Draw (num_samples, n) from N(mean, cov) via a jittered Cholesky."""
+    n = mean.shape[0]
+    L = jax.lax.linalg.cholesky(
+        cov + jitter * jnp.eye(n, dtype=cov.dtype)
+    )
+    eps = jax.random.normal(key, (num_samples, n), mean.dtype)
+    return mean[None, :] + jnp.matmul(
+        eps, L.T, precision=jax.lax.Precision.HIGHEST
+    )
+
+
 def gaussian_nll(y_true, mean, var):
     """Average predictive negative log-likelihood (the reference's NLL
     metric column — [U] gp_experiment_runner.py CSV)."""

@@ -289,3 +289,67 @@ def iterative_posterior(
     if observation_noise:
         var = var + noise
     return mu, var
+
+
+def iterative_posterior_cov(spec: ModelSpec, params, buffers, x_train,
+                            y_train, x_test, observation_noise: bool = False):
+    """Posterior (mean, FULL covariance) at a test batch on the BBMM path
+    (reference analog: [G] exact_prediction_strategies.py predictive
+    covar — LOVE when spec.love_rank > 0, else n_test CG solves against
+    the cross-covariance columns). Intended for MODEST test batches
+    (the covariance is (n_test, n_test)); the prior test block uses the
+    exact Gram even under SKI — at batch sizes where a dense covariance
+    makes sense, exactness beats interpolation consistency.
+    """
+    kspec, kp, kb = spec.kernel, params["kernel"], buffers["kernel"]
+    noise = exact_gp.noise_value(params)
+    yc = y_train - exact_gp.mean_fn(spec, params, x_train)
+
+    st_train = st_test = None
+    if kspec.ski:
+        z_tr = ski.project(kspec, kp, kb, x_train)
+        z_te = ski.project(kspec, kp, kb, x_test)
+        lo = jnp.minimum(jnp.min(z_tr, axis=1), jnp.min(z_te, axis=1))
+        hi = jnp.maximum(jnp.max(z_tr, axis=1), jnp.max(z_te, axis=1))
+        st_train = _ski_state(spec, params, buffers, x_train, z_bounds=(lo, hi))
+        st_test = _ski_state(spec, params, buffers, x_test, z_bounds=(lo, hi))
+    A_mvm = _make_A_mvm(spec, params, buffers, x_train, noise, state=st_train)
+    if spec.precond_rank > 0:
+        pre = _build_pre(spec, params, buffers, x_train, noise)
+        M_inv = lambda R: precond.apply_inverse(pre, R)
+    else:
+        M_inv = None
+
+    res = cg_mod.batched_pcg_while(
+        A_mvm, yc[:, None], M_inv, max_iters=4 * spec.cg_max_iters, tol=1e-4
+    )
+    alpha = res.solution[:, 0]
+    cross_states = None if st_train is None else (st_test, st_train)
+    mu = _kernel_mvm(spec, params, buffers, x_test, x_train, alpha[:, None],
+                     states=cross_states)[:, 0]
+    mu = mu + exact_gp.mean_fn(spec, params, x_test)
+
+    K_ss = kernels.gram(kspec, kp, kb, x_test, x_test)
+    if spec.love_rank > 0:
+        from . import love
+
+        cache = love.build_love_cache(A_mvm, yc, noise, spec.love_rank,
+                                      alpha=alpha)
+        K_star_Q = _kernel_mvm(spec, params, buffers, x_test, x_train,
+                               cache.Q, states=cross_states)
+        cov = love.love_covariance(cache, K_star_Q, K_ss)
+    else:
+        # K(train, test) columns via identity MVM, then one batched CG
+        eye = jnp.eye(x_test.shape[0], dtype=x_train.dtype)
+        Kc = _kernel_mvm(spec, params, buffers, x_train, x_test, eye,
+                         states=None if st_train is None
+                         else (st_train, st_test))
+        sol = cg_mod.batched_pcg_while(
+            A_mvm, Kc, M_inv, max_iters=4 * spec.cg_max_iters, tol=1e-4
+        ).solution
+        cov = K_ss - jnp.matmul(Kc.T, sol,
+                                precision=jax.lax.Precision.HIGHEST)
+        cov = 0.5 * (cov + cov.T)
+    if observation_noise:
+        cov = cov + noise * jnp.eye(cov.shape[0], dtype=cov.dtype)
+    return mu, cov

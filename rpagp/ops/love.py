@@ -114,6 +114,22 @@ def build_love_cache(A_mvm: Callable, y_centered, noise, rank: int,
     return LoveCache(Q=Q, T_chol=T_chol, alpha=alpha, noise=noise)
 
 
+def love_covariance(cache: LoveCache, K_star_Q, K_star_star):
+    """FULL posterior covariance of a test batch from the cache:
+
+        cov ~= K** - (K* Q) T^{-1} (K* Q)^T = K** - w^T w,
+        w = T_chol^{-1} (K* Q)^T
+
+    (Pleiss et al. 2018 §3.2; [G] exact_prediction_strategies.py LOVE
+    covar). K_star_Q: (n_test, r); K_star_star: (n_test, n_test) prior
+    test block. Latent covariance (no observation noise)."""
+    w = jax.lax.linalg.triangular_solve(
+        cache.T_chol, K_star_Q.T, left_side=True, lower=True
+    )  # (r, n_test)
+    cov = K_star_star - jnp.matmul(w.T, w, precision=_HI)
+    return 0.5 * (cov + cov.T)
+
+
 def love_variance(cache: LoveCache, K_star_Q, k_diag_star,
                   observation_noise: bool = True):
     """Predictive variance from the cache.
