@@ -22,12 +22,12 @@ import time
 import jax
 import jax.numpy as jnp
 
-from . import mll as mll_mod
+from .mll import mll as mll_fn, posterior as posterior_fn
 from .models import exact_gp
 from .ops.exact import gaussian_nll
 from .train import train_to_convergence
 from .utils import datasets as data_mod
-from .utils.config import ExperimentSpec, load_spec
+from .utils.config import ExperimentSpec, load_spec, make_optimizer
 
 CSV_COLUMNS = [
     "dataset",
@@ -65,10 +65,10 @@ def run_split(exp: ExperimentSpec, split, seed: int = 0,
     if iterative:
         # stochastic MLL: resample probe vectors every step (reference
         # behavior); train loop smooths patience with an EMA
-        loss_fn = lambda p, b, xx, yy, k: -mll_mod.mll(spec, p, b, xx, yy, key=k) / n
+        loss_fn = lambda p, b, xx, yy, k: -mll_fn(spec, p, b, xx, yy, key=k) / n
         key = jax.random.key(seed + 1)
     else:
-        loss_fn = lambda p, b, xx, yy: -mll_mod.mll(spec, p, b, xx, yy) / n
+        loss_fn = lambda p, b, xx, yy: -mll_fn(spec, p, b, xx, yy) / n
         key = None
 
     t0 = time.perf_counter()
@@ -81,10 +81,11 @@ def run_split(exp: ExperimentSpec, split, seed: int = 0,
         rel_tol=exp.train.rel_tol,
         key=key,
         loss_args=(buffers, x, y),
+        optimizer=make_optimizer(exp.train),
     )
     train_time = time.perf_counter() - t0
 
-    mu, var = mll_mod.posterior(spec, res.params, buffers, x, y, xt)
+    mu, var = posterior_fn(spec, res.params, buffers, x, y, xt)
     rmse = float(jnp.sqrt(jnp.mean((mu - yt) ** 2)))
     nll = float(gaussian_nll(yt, mu, var))
     return {
@@ -133,8 +134,6 @@ def _run_split_svgp(exp: ExperimentSpec, x, y, xt, yt, seed: int):
 def _run_split_distributed(exp: ExperimentSpec, x, y, xt, yt, seed: int):
     """Multi-chip branch: row-sharded SPMD training over the full device
     mesh (parallel/sharding.py) and sharded posterior prediction."""
-    import optax
-
     from .parallel import sharding
 
     spec = exp.model
@@ -144,7 +143,7 @@ def _run_split_distributed(exp: ExperimentSpec, x, y, xt, yt, seed: int):
     x, y = x[:n], y[:n]
 
     params, buffers = exact_gp.init_model(jax.random.key(seed), spec, x.shape[1])
-    opt = optax.adam(exp.train.lr)
+    opt = make_optimizer(exp.train)
     step = sharding.make_distributed_train_step(spec, mesh, opt, n_global=n)
 
     xs = sharding.shard_rows(x, mesh)

@@ -23,6 +23,32 @@ class TrainConfig:
     max_iters: int = 1000
     patience: int = 20
     rel_tol: float = 1e-6
+    # LR schedule (reference analog: the optional torch.optim.lr_scheduler
+    # wiring in [U] training_routines.py): "constant" | "cosine" | "step"
+    lr_schedule: str = "constant"
+    lr_decay_rate: float = 0.1  # cosine: final-lr fraction; step: decay x
+    lr_decay_every: int = 0  # step schedule period (0 -> max_iters // 3)
+
+
+def make_optimizer(tr: TrainConfig):
+    """Adam with the configured LR schedule (optax)."""
+    import optax
+
+    if tr.lr_schedule == "constant":
+        sched = tr.lr
+    elif tr.lr_schedule == "cosine":
+        sched = optax.cosine_decay_schedule(
+            tr.lr, decay_steps=max(1, tr.max_iters), alpha=tr.lr_decay_rate
+        )
+    elif tr.lr_schedule == "step":
+        every = tr.lr_decay_every or max(1, tr.max_iters // 3)
+        sched = optax.exponential_decay(
+            tr.lr, transition_steps=every, decay_rate=tr.lr_decay_rate,
+            staircase=True,
+        )
+    else:
+        raise ValueError(f"unknown lr_schedule {tr.lr_schedule!r}")
+    return optax.adam(sched)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -83,6 +109,9 @@ def experiment_spec_from_dict(d: dict, name: str = "experiment") -> ExperimentSp
         max_iters=int(tr.get("max_iters", 1000)),
         patience=int(tr.get("patience", 20)),
         rel_tol=float(tr.get("rel_tol", 1e-6)),
+        lr_schedule=str(tr.get("lr_schedule", "constant")),
+        lr_decay_rate=float(tr.get("lr_decay_rate", 0.1)),
+        lr_decay_every=int(tr.get("lr_decay_every", 0)),
     )
     return ExperimentSpec(
         model=model,

@@ -59,3 +59,44 @@ def test_results_aggregation_math():
         assert s["n_splits"] == 2
         table = format_table(agg)
         assert "d" in table and "0.6000" in table
+
+
+def test_lr_schedule_config():
+    """TrainConfig lr_schedule -> optax schedule (reference analog: the
+    optional LR scheduler in [U] training_routines.py)."""
+    import jax.numpy as jnp
+
+    from rpagp.utils.config import (TrainConfig, experiment_spec_from_dict,
+                                    make_optimizer)
+
+    exp = experiment_spec_from_dict({
+        "kernel": {"type": "projection", "J": 2},
+        "training": {"lr": 0.2, "max_iters": 100, "lr_schedule": "cosine",
+                     "lr_decay_rate": 0.05},
+    })
+    assert exp.train.lr_schedule == "cosine"
+
+    # the schedule actually decays: run a few updates and watch a param
+    # under a constant gradient shrink its step size
+    opt = make_optimizer(exp.train)
+    params = {"w": jnp.zeros(())}
+    state = opt.init(params)
+    g = {"w": jnp.ones(())}
+    steps = []
+    prev = params["w"]
+    for _ in range(100):
+        upd, state = opt.update(g, state, params)
+        params = {"w": params["w"] + upd["w"]}
+        steps.append(float(abs(params["w"] - prev)))
+        prev = params["w"]
+    assert steps[-1] < 0.25 * steps[1], steps[:2] + steps[-2:]
+
+    for bad in ("warmup", "linear"):
+        cfg = TrainConfig(lr_schedule=bad)
+        try:
+            make_optimizer(cfg)
+            assert False, "expected ValueError"
+        except ValueError:
+            pass
+    # step schedule constructs fine
+    make_optimizer(TrainConfig(lr_schedule="step", lr_decay_every=10))
