@@ -3,17 +3,19 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 The driver metric (BASELINE.md): MLL-step wall-clock for RPA-GP with SKI
-MVMs at large n. This bench runs the J=20, grid-512 SKI (dense interp
+MVMs at large n. This bench runs the J=20, grid-256 SKI (dense interp
 plan) + BBMM-CG(20) + SLQ(8 probes) value-and-grad step — the exact hot
 path of config 5 — at HouseElectric scale unless RPAGP_BENCH_N
 overrides.
 
-Grid size: m=512 is evidence-based, not a speed hack — the grid-size
-study (scripts/grid_accuracy.py, docs/BENCHMARKS.md r2) shows the MLL
-bias at matched hyperparameters is IDENTICAL for m=256..4096 (the SLQ
-probe estimator's ~1.5e-4 floor dominates; the grid contributes nothing
-beyond m=256). Round 1 used m=4096 by fiat; m=512 keeps a 2x safety
-margin over the measured knee.
+Grid size: m=256 is evidence-based, not a speed hack — the grid-size
+study (scripts/grid_accuracy.py + the r2c knee extension,
+docs/BENCHMARKS.md) shows the MLL bias at matched hyperparameters is
+IDENTICAL for m=96..4096 at n=16k (the SLQ probe estimator's ~1.5e-4
+floor dominates), and at n=200k the m=256 and m=2048 MLLs agree to
+1.2e-7/datum at tight knobs. m=256 keeps a >2.5x spacing margin over
+the measured knee even after the ~1.2x z-span growth from the 16k study
+scale to HouseElectric's 1.8M.
 
 vs_baseline: speedup vs the reference step time. No real A100 GPyTorch
 number was ever readable (BASELINE.md provenance), so the reference is
@@ -65,7 +67,7 @@ def main():
     from __graft_entry__ import _flagship_spec
 
     probes = int(os.environ.get("RPAGP_BENCH_PROBES", 8))
-    grid = int(os.environ.get("RPAGP_BENCH_GRID", 512))
+    grid = int(os.environ.get("RPAGP_BENCH_GRID", 256))
     spec = _flagship_spec(grid_size=grid, cg_iters=20, probes=probes, J=20)
 
     kx, ky = jax.random.split(jax.random.key(0))

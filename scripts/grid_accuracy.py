@@ -90,7 +90,7 @@ def main():
     run_iter("flagship knobs (cg20 tol1e-2 p8 r15)", kspec_exact, 20, 1e-2, 8, 15)
 
     print("\n-- SKI grid size at tight knobs: m-induced bias --")
-    for m in (256, 512, 1024, 4096):
+    for m in (96, 128, 192, 256, 512, 1024, 4096):
         ks = KernelSpec.polynomial(J=J, d=1, base="rbf", ski=True, grid_size=m)
         run_iter(f"ski m={m} tight (cg300 tol1e-10 p64 r15)",
                  ks, 300, 1e-10, 64, 15, seeds=2)
