@@ -428,11 +428,25 @@ def _dense_blocks(tfrac):
     return tfrac, bn, nb, pad
 
 
+# Pallas interp kernels hold an (8*t, m) f32 accumulator (+ the tap-
+# stacked bf16 operand) in VMEM per block — wide-t calls (e.g. the LOVE
+# cache build, t = love_rank) must chunk columns or they blow the 16 MB
+# scoped-vmem limit.
+_PALLAS_T_MAX = 64
+
+
 def _dense_interp_transpose_impl(state: SKIState, V):
     """W^T V per component: V (n, t) -> (J, t, m)."""
     if _use_pallas_interp():
         from . import pallas_interp as pi
 
+        t = V.shape[1]
+        if t > _PALLAS_T_MAX:
+            outs = [
+                _dense_interp_transpose_impl(state, V[:, s:s + _PALLAS_T_MAX])
+                for s in range(0, t, _PALLAS_T_MAX)
+            ]
+            return jnp.concatenate(outs, axis=1)
         tf, n_pad = _pallas_pad(state.tfrac)
         VT = V.T
         if n_pad != V.shape[0]:
@@ -466,6 +480,13 @@ def _dense_interp_apply_sum_impl(state: SKIState, G):
     if _use_pallas_interp():
         from . import pallas_interp as pi
 
+        t = G.shape[1]
+        if t > _PALLAS_T_MAX:
+            outs = [
+                _dense_interp_apply_sum_impl(state, G[:, s:s + _PALLAS_T_MAX])
+                for s in range(0, t, _PALLAS_T_MAX)
+            ]
+            return jnp.concatenate(outs, axis=1)
         n = state.tfrac.shape[1]
         tf, n_pad = _pallas_pad(state.tfrac)
         out = pi.apply_sum_call(tf, G.astype(jnp.float32))

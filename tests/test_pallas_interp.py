@@ -117,3 +117,31 @@ def test_edge_taps_match_xla():
     got_a = pi.apply_sum_call(tf, G, interpret=True)[:, :n].T
     np.testing.assert_allclose(np.asarray(got_a), np.asarray(want_a),
                                rtol=2e-5, atol=5e-5)
+
+
+def test_wide_t_chunking_matches_xla(monkeypatch):
+    """t > _PALLAS_T_MAX (e.g. the LOVE cache's t = love_rank) is chunked
+    into column slices at the ski dispatch level — required to stay
+    inside the 16 MB VMEM scratch budget. Parity vs the XLA plan with
+    the pallas path forced on (interpret mode)."""
+    import functools
+
+    state, _, _ = _setup(J=2, n=600, m=64, t=5)
+    t_wide = 80
+    V = jax.random.normal(jax.random.key(9), (600, t_wide))
+    G = jax.random.normal(jax.random.key(10), (2, t_wide, 64))
+    want_t = ski._dense_interp_transpose_impl(state, V)
+    want_a = ski._dense_interp_apply_sum_impl(state, G)
+
+    monkeypatch.setattr(ski, "_use_pallas_interp", lambda: True)
+    monkeypatch.setattr(ski, "_PALLAS_T_MAX", 32)
+    monkeypatch.setattr(pi, "transpose_call",
+                        functools.partial(pi.transpose_call, interpret=True))
+    monkeypatch.setattr(pi, "apply_sum_call",
+                        functools.partial(pi.apply_sum_call, interpret=True))
+    got_t = ski._dense_interp_transpose_impl(state, V)
+    got_a = ski._dense_interp_apply_sum_impl(state, G)
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
+                               rtol=2e-5, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(got_a), np.asarray(want_a),
+                               rtol=2e-5, atol=5e-5)
