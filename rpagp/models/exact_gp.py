@@ -21,6 +21,7 @@ buffers:
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -52,6 +53,12 @@ class ModelSpec:
     mvm_block_rows: int = 4096
     # LOVE predictive-variance cache rank (0 = off: chunked-CG variances)
     love_rank: int = 0
+    # rebuild the pivoted-Cholesky preconditioner every k training steps
+    # (1 = every MLL evaluation, GPyTorch behavior; k > 1 = cached in
+    # buffers["precond_cache"] and refreshed by the train loop — see
+    # refresh_preconditioner; unbiased for any k, only CG convergence
+    # quality drifts between refreshes)
+    precond_refresh: int = 1
 
 
 def init_model(key, spec: ModelSpec, D: int, dtype=jnp.float32):
@@ -89,8 +96,40 @@ def prepare_buffers(spec: ModelSpec, params, buffers, x_train):
         state = jax.block_until_ready(
             build(params["kernel"], buffers["kernel"], x_train)
         )
-        return {**buffers, "ski_state": state}
+        buffers = {**buffers, "ski_state": state}
+    if spec.precond_refresh > 1 and spec.precond_rank > 0:
+        buffers = refresh_preconditioner(spec, params, buffers, x_train)
     return buffers
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _build_precond_cache(spec: ModelSpec, params, kbuffers, x_train):
+    from ..ops import precond
+
+    noise = noise_value(jax.lax.stop_gradient(params))
+    return precond.build_preconditioner(
+        spec.kernel, jax.lax.stop_gradient(params["kernel"]),
+        kbuffers, x_train, noise, spec.precond_rank,
+    )
+
+
+def refresh_preconditioner(spec: ModelSpec, params, buffers, x_train):
+    """Rebuild the cached pivoted-Cholesky preconditioner at the CURRENT
+    hyperparameters (buffers["precond_cache"]).
+
+    Used with spec.precond_refresh = k > 1: the training loop calls this
+    every k steps instead of the MLL rebuilding it every evaluation. A
+    stale preconditioner is statistically sound — the estimator draws
+    probes from N(0, M), applies the SAME M^{-1}, and adds the SAME
+    logdet(M), so it is unbiased for ANY SPD M; staleness only degrades
+    CG convergence rate as hyperparameters drift (measured in
+    docs/BENCHMARKS.md; the build is ~85 ms/step at HouseElectric scale).
+
+    Only the build is jitted (against the STABLE kernel-buffers pytree);
+    the dict merge stays in Python so the cache key's presence can't
+    trigger a retrace in the refresh path."""
+    pre = _build_precond_cache(spec, params, buffers["kernel"], x_train)
+    return {**buffers, "precond_cache": pre}
 
 
 def noise_value(params):

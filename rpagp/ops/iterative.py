@@ -103,12 +103,21 @@ def _make_inv_quad_logdet(spec: ModelSpec):
         # as plain float arrays so the custom_vjp boundary stays
         # differentiable-typed; keys have no tangent space)
         if spec.precond_rank > 0:
-            pre = _build_pre(spec, params, buffers, x, noise)
+            if (spec.precond_refresh > 1
+                    and buffers.get("precond_cache") is not None):
+                # stale-but-consistent preconditioner, refreshed by the
+                # train loop every spec.precond_refresh steps (see
+                # models.exact_gp.refresh_preconditioner)
+                pre = jax.lax.stop_gradient(buffers["precond_cache"])
+            else:
+                pre = _build_pre(spec, params, buffers, x, noise)
             M_inv = lambda R: precond.apply_inverse(pre, R)
-            nsg = jax.lax.stop_gradient(noise)
+            # pre.noise, NOT the live noise: M = L L^T + pre.noise I must
+            # be ONE consistent operator across probes / M_inv / logdet(M)
+            # (they differ only when the cache is stale)
             Z = jnp.matmul(pre.L, eps_small,
                            precision=jax.lax.Precision.HIGHEST) \
-                + jnp.sqrt(nsg) * eps_big
+                + jnp.sqrt(pre.noise) * eps_big
             pre_logdet = pre.logdet
         else:
             nsg = jax.lax.stop_gradient(noise)

@@ -71,6 +71,14 @@ def run_split(exp: ExperimentSpec, split, seed: int = 0,
         loss_fn = lambda p, b, xx, yy: -mll_fn(spec, p, b, xx, yy) / n
         key = None
 
+    refresh = None
+    if iterative and spec.precond_refresh > 1 and spec.precond_rank > 0:
+        refresh = (
+            spec.precond_refresh,
+            lambda p, a: (
+                exact_gp.refresh_preconditioner(spec, p, a[0], a[1]),
+            ) + a[1:],
+        )
     t0 = time.perf_counter()
     res = train_to_convergence(
         loss_fn,
@@ -82,6 +90,7 @@ def run_split(exp: ExperimentSpec, split, seed: int = 0,
         key=key,
         loss_args=(buffers, x, y),
         optimizer=make_optimizer(exp.train),
+        args_refresh=refresh,
     )
     train_time = time.perf_counter() - t0
 

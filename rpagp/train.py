@@ -81,6 +81,7 @@ def train_to_convergence(
     optimizer=None,
     key=None,
     loss_args=(),
+    args_refresh=None,
 ) -> TrainResult:
     """Adam to convergence with patience stopping on the best loss seen.
 
@@ -94,6 +95,11 @@ def train_to_convergence(
     loss.
     loss_args: extra traced arguments (data, buffers) — pass large arrays
     HERE rather than closing over them (see make_step).
+    args_refresh: optional (every, fn) — every `every` steps, loss_args
+    is replaced by fn(params, loss_args) OUTSIDE the jitted step (e.g.
+    rebuilding the cached preconditioner at the current hyperparameters,
+    spec.precond_refresh; same compiled step keeps running since shapes
+    are unchanged).
     """
     optimizer = optimizer or optax.adam(lr)
     opt_state = optimizer.init(params)
@@ -109,6 +115,8 @@ def train_to_convergence(
     converged = False
     i = 0
     for i in range(max_iters):
+        if args_refresh is not None and i > 0 and i % args_refresh[0] == 0:
+            loss_args = args_refresh[1](params, loss_args)
         if stochastic:
             key, sub = jax.random.split(key)
             params, opt_state, loss = step(params, opt_state, *loss_args, sub)

@@ -102,6 +102,7 @@ def experiment_spec_from_dict(d: dict, name: str = "experiment") -> ExperimentSp
         num_probes=int(inf.get("num_probes", 10)),
         mvm_block_rows=int(inf.get("mvm_block_rows", 4096)),
         love_rank=int(inf.get("love_rank", 0)),
+        precond_refresh=int(inf.get("precond_refresh", 1)),
     )
     tr = d.get("training", {})
     train = TrainConfig(

@@ -239,3 +239,68 @@ def test_flagship_knobs_bias_bounded():
         assert gerr < 0.15, (m, gerr)
     # the grid size is immaterial next to estimator noise
     assert abs(mlls[128] - mlls[1024]) < 1e-3, mlls
+
+
+def test_stale_preconditioner_estimator_unbiased():
+    """precond_refresh > 1: the MLL with a preconditioner CACHED at old
+    hyperparameters stays consistent with exact Cholesky at the CURRENT
+    hyperparameters (probes/M_inv/logdet(M) all use the one cached M, so
+    the estimator is unbiased for any SPD M; only variance drifts)."""
+    from rpagp.models import exact_gp as eg
+
+    n, D, J = 1024, 6, 5
+    kx, ky = jax.random.split(jax.random.key(50))
+    x = jax.random.normal(kx, (n, D), jnp.float32)
+    y = jnp.sin(2.0 * x[:, 0]) + 0.1 * jax.random.normal(ky, (n,), jnp.float32)
+    kspec = KernelSpec.polynomial(J=J, d=1, base="rbf")
+    spec = ModelSpec(kernel=kspec, max_cholesky_size=64, cg_max_iters=120,
+                     cg_tol=1e-10, precond_rank=10, num_probes=64,
+                     precond_refresh=10)
+    params0, buffers = init_model(jax.random.key(51), spec, D)
+    # cache built at params0 ...
+    bufs = eg.prepare_buffers(spec, params0, buffers, x)
+    assert bufs.get("precond_cache") is not None
+    # ... then hyperparameters move substantially
+    params1 = dict(params0)
+    params1["kernel"] = dict(params0["kernel"])
+    params1["kernel"]["raw_lengthscale"] = (
+        params0["kernel"]["raw_lengthscale"] + 0.5)
+    params1["raw_noise"] = params0["raw_noise"] - 0.5
+
+    spec_chol = ModelSpec(kernel=kspec, max_cholesky_size=10**9)
+    want = float(exact_mll(spec_chol, params1, buffers, x, y))
+    got = float(iterative.iterative_mll(spec, params1, bufs, x, y,
+                                        jax.random.key(52)))
+    assert abs(got - want) / abs(want) < 0.02, (got, want)
+
+
+def test_precond_refresh_training_matches_fresh():
+    """A refresh-every-5 run reaches the same loss as rebuild-every-step."""
+    from rpagp.models import exact_gp as eg
+    from rpagp.train import train_to_convergence
+
+    n, D = 512, 4
+    kx, ky = jax.random.split(jax.random.key(60))
+    x = jax.random.normal(kx, (n, D), jnp.float32)
+    y = jnp.sin(2.0 * x[:, 0]) + 0.1 * jax.random.normal(ky, (n,), jnp.float32)
+
+    finals = {}
+    for refresh in (1, 5):
+        spec = ModelSpec(
+            kernel=KernelSpec.polynomial(J=4, d=1), max_cholesky_size=64,
+            cg_max_iters=60, cg_tol=1e-6, precond_rank=8, num_probes=16,
+            precond_refresh=refresh,
+        )
+        params, buffers = init_model(jax.random.key(61), spec, D)
+        bufs = eg.prepare_buffers(spec, params, buffers, x)
+        loss = lambda p, b, k: -iterative.iterative_mll(
+            spec, p, b, x, y, k) / n
+        ref = None
+        if refresh > 1:
+            ref = (refresh,
+                   lambda p, a: (eg.refresh_preconditioner(spec, p, a[0], x),))
+        res = train_to_convergence(loss, params, lr=0.1, max_iters=40,
+                                   key=jax.random.key(62), loss_args=(bufs,),
+                                   args_refresh=ref)
+        finals[refresh] = res.losses[-1]
+    assert abs(finals[1] - finals[5]) < 0.03, finals
