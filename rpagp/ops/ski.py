@@ -206,7 +206,11 @@ def toeplitz_columns(spec: KernelSpec, kparams, state: SKIState):
 
 def sym_toeplitz_matmul(col, U):
     """(J, m) Toeplitz first columns x (J, t, m) -> (J, t, m) via a 2m
-    circulant embedding and batched rFFTs over the last axis."""
+    circulant embedding and batched rFFTs over the last axis.
+
+    (A direct T-materialization + MXU einsum alternative was measured at
+    parity with the FFT at the flagship m=256 — 624 vs 619 ms/step,
+    docs/BENCHMARKS.md r2 — so the simpler FFT plan stays.)"""
     J, m = col.shape
     circ = jnp.concatenate(
         [col, jnp.zeros((J, 1), col.dtype), col[:, -1:0:-1]], axis=1
