@@ -11,6 +11,7 @@ Public surface:
   init_model / exact_mll / predict — model layer (models.exact_gp)
   mll                              — unified exact/iterative MLL (mll.py)
   posterior / posterior_cov / sample_posterior — predictive API (mll.py)
+  make_predictor                   — cached eval-mode predictor (mll.py)
   train_to_convergence / train_fixed — hyperparameter optimization
   gen_rp                           — random projection sampling
   load_dataset / kfold_splits      — UCI data layer
@@ -18,7 +19,8 @@ Public surface:
 
 from .ops.kernels import KernelSpec
 from .models.exact_gp import ModelSpec, init_model, exact_mll, predict
-from .mll import mll, posterior, posterior_cov, sample_posterior
+from .mll import (mll, posterior, posterior_cov, sample_posterior,
+                  make_predictor)
 from .projections import gen_rp, space_equally
 from .train import train_to_convergence, train_fixed
 from .utils.datasets import load_dataset, kfold_splits, single_split

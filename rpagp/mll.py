@@ -50,6 +50,25 @@ def posterior(spec: ModelSpec, params, buffers, x_train, y_train, x_test,
     )
 
 
+def make_predictor(spec: ModelSpec, params, buffers, x_train, y_train,
+                   observation_noise: bool = True):
+    """Eval-mode CACHED predictor with the usual size dispatch: factor
+    once (Cholesky small-n; CG mean cache + LOVE Lanczos cache large-n),
+    then every call is one cross-kernel MVM — the reference's
+    prediction-strategy caching ([G] exact_prediction_strategies.py).
+    Returns predict(x_test) -> (mu, var)."""
+    n = x_train.shape[0]
+    if n <= spec.max_cholesky_size and not spec.kernel.ski:
+        from .models.exact_gp import make_predictor as _exact_mp
+
+        return _exact_mp(spec, params, buffers, x_train, y_train,
+                         observation_noise=observation_noise)
+    from .ops.iterative import make_predictor as _iter_mp
+
+    return _iter_mp(spec, params, buffers, x_train, y_train,
+                    observation_noise=observation_noise)
+
+
 def posterior_cov(spec: ModelSpec, params, buffers, x_train, y_train,
                   x_test, observation_noise: bool = False):
     """Posterior (mean, FULL covariance) at a modest test batch, with the

@@ -171,6 +171,29 @@ def predict(spec: ModelSpec, params, buffers, x_train, y_train, x_test,
     return mean_delta + mean_fn(spec, params, x_test), var
 
 
+def make_predictor(spec: ModelSpec, params, buffers, x_train, y_train,
+                   observation_noise: bool = True):
+    """Eval-mode cached predictor (exact Cholesky path): factor K + s^2 I
+    and the mean cache ONCE, return predict(x_test) -> (mu, var) for
+    repeated test batches ([G] exact_prediction_strategies.py caching)."""
+    kspec, kp, kb = spec.kernel, params["kernel"], buffers["kernel"]
+    K = kernels.gram(kspec, kp, kb, x_train, x_train)
+    yc = y_train - mean_fn(spec, params, x_train)
+    noise = noise_value(params)
+    L, alpha = exact.cholesky_posterior_cache(K, yc, noise, spec.jitter)
+
+    def predict(x_test):
+        K_star = kernels.gram(kspec, kp, kb, x_test, x_train)
+        k_diag = kernels.gram_diag(kspec, kp, kb, x_test)
+        mean_delta, var = exact.posterior_from_cache(
+            K_star, k_diag, L, alpha,
+            noise=noise if observation_noise else None,
+        )
+        return mean_delta + mean_fn(spec, params, x_test), var
+
+    return predict
+
+
 def predict_cov(spec: ModelSpec, params, buffers, x_train, y_train, x_test,
                 observation_noise: bool = False):
     """Posterior (mean, FULL covariance) at x_test — exact Cholesky path

@@ -300,6 +300,75 @@ def iterative_posterior(
     return mu, var
 
 
+def make_predictor(spec: ModelSpec, params, buffers, x_train, y_train,
+                   observation_noise: bool = True, grid_margin: float = 0.5):
+    """Eval-mode CACHED prediction strategy: build the expensive caches
+    ONCE (mean cache alpha = A^{-1} y_c, the LOVE Lanczos cache, the SKI
+    train geometry), return `predict(x_test) -> (mu, var)` for repeated
+    test batches — each batch then costs one cross-kernel MVM
+    (constant-time predictions, Pleiss et al. 2018; reference analog:
+    [G] exact_prediction_strategies.py caching on first eval call).
+
+    Requires spec.love_rank > 0 (the cache IS the variance path).
+
+    SKI: the cached grid covers the train projection range EXTENDED by
+    `grid_margin` x span each side, so moderately extrapolating test
+    batches keep interior taps; points projecting beyond the margin get
+    zero tap weight, i.e. revert to the prior — the asymptotically
+    correct behavior (and the failure mode is conservative variance,
+    never spurious confidence).
+    """
+    if spec.love_rank <= 0:
+        raise ValueError("make_predictor requires spec.love_rank > 0 "
+                         "(the LOVE cache is the cached variance path)")
+    from . import love
+
+    kspec, kp, kb = spec.kernel, params["kernel"], buffers["kernel"]
+    noise = exact_gp.noise_value(params)
+    yc = y_train - exact_gp.mean_fn(spec, params, x_train)
+
+    st_train = None
+    bounds = None
+    if kspec.ski:
+        z_tr = ski.project(kspec, kp, kb, x_train)
+        lo, hi = jnp.min(z_tr, axis=1), jnp.max(z_tr, axis=1)
+        span = hi - lo
+        bounds = (lo - grid_margin * span, hi + grid_margin * span)
+        st_train = _ski_state(spec, params, buffers, x_train,
+                              z_bounds=bounds)
+    A_mvm = _make_A_mvm(spec, params, buffers, x_train, noise,
+                        state=st_train)
+    if spec.precond_rank > 0:
+        pre = _build_pre(spec, params, buffers, x_train, noise)
+        M_inv = lambda R: precond.apply_inverse(pre, R)
+    else:
+        M_inv = None
+
+    res = cg_mod.batched_pcg_while(
+        A_mvm, yc[:, None], M_inv, max_iters=4 * spec.cg_max_iters, tol=1e-4
+    )
+    alpha = res.solution[:, 0]
+    cache = love.build_love_cache(A_mvm, yc, noise, spec.love_rank,
+                                  alpha=alpha)
+    AQ = jnp.concatenate([alpha[:, None], cache.Q], axis=1)  # (n, 1+r)
+
+    def predict(x_test):
+        st_test = (None if st_train is None else
+                   _ski_state(spec, params, buffers, x_test,
+                              z_bounds=bounds))
+        cross_states = None if st_train is None else (st_test, st_train)
+        # ONE cross-kernel MVM per batch: columns [alpha | Q]
+        C = _kernel_mvm(spec, params, buffers, x_test, x_train, AQ,
+                        states=cross_states, allow_pallas=True)
+        mu = C[:, 0] + exact_gp.mean_fn(spec, params, x_test)
+        kd = kernels.gram_diag(kspec, kp, kb, x_test)
+        var = love.love_variance(cache, C[:, 1:], kd,
+                                 observation_noise=observation_noise)
+        return mu, var
+
+    return predict
+
+
 def iterative_posterior_cov(spec: ModelSpec, params, buffers, x_train,
                             y_train, x_test, observation_noise: bool = False):
     """Posterior (mean, FULL covariance) at a test batch on the BBMM path

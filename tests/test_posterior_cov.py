@@ -104,3 +104,70 @@ def test_sample_posterior_moments():
     np.testing.assert_allclose(emp_mu, np.asarray(mu), atol=4 * np.sqrt(
         np.max(np.asarray(cov).diagonal()) / 4000) + 1e-3)
     np.testing.assert_allclose(emp_cov, np.asarray(cov), atol=5e-2)
+
+
+def test_make_predictor_exact_matches_predict():
+    from rpagp import make_predictor, predict
+
+    spec, params, buffers, x, y, xt = _setup(n=140, n_test=20)
+    pred = make_predictor(spec, params, buffers, x, y)
+    mu_c, var_c = pred(xt)
+    mu_e, var_e = predict(spec, params, buffers, x, y, xt)
+    np.testing.assert_allclose(np.asarray(mu_c), np.asarray(mu_e), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(var_c), np.asarray(var_e),
+                               atol=1e-5)
+    # a SECOND batch through the same cache
+    xt2 = jax.random.normal(jax.random.key(99), (9, x.shape[1]))
+    mu2, var2 = pred(xt2)
+    mu2_e, var2_e = predict(spec, params, buffers, x, y, xt2)
+    np.testing.assert_allclose(np.asarray(mu2), np.asarray(mu2_e), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(var2), np.asarray(var2_e),
+                               atol=1e-5)
+
+
+def test_make_predictor_love_matches_posterior():
+    from rpagp import make_predictor
+
+    spec, params, buffers, x, y, xt = _setup(
+        n=220, n_test=24, cg_max_iters=100, cg_tol=1e-8, precond_rank=10,
+        love_rank=110, max_cholesky_size=16,
+    )
+    pred = make_predictor(spec, params, buffers, x, y)
+    mu_c, var_c = pred(xt)
+    mu_i, var_i = iterative.iterative_posterior(spec, params, buffers,
+                                                x, y, xt)
+    np.testing.assert_allclose(np.asarray(mu_c), np.asarray(mu_i), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(var_c), np.asarray(var_i),
+                               rtol=3e-2, atol=3e-3)
+
+
+def test_make_predictor_ski_with_margin_batches():
+    """Cached SKI predictor: the grid is built once with a margin; test
+    batches inside the margin (incl. mild extrapolation) match the
+    fresh-grid posterior."""
+    from rpagp import make_predictor
+
+    spec, params, buffers, x, y, _ = _setup(
+        n=160, kernel=KernelSpec.polynomial(J=4, d=1, ski=True,
+                                            grid_size=128),
+        cg_max_iters=80, cg_tol=1e-8, precond_rank=0, love_rank=80,
+        max_cholesky_size=16,
+    )
+    pred = make_predictor(spec, params, buffers, x, y)
+    # mild extrapolation: ~1.3x the train radius, inside the 0.5 margin
+    xt = 1.3 * jax.random.normal(jax.random.key(77), (16, x.shape[1]))
+    mu_c, var_c = pred(xt)
+    mu_i, var_i = iterative.iterative_posterior(spec, params, buffers,
+                                                x, y, xt)
+    np.testing.assert_allclose(np.asarray(mu_c), np.asarray(mu_i), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(var_c), np.asarray(var_i),
+                               rtol=5e-2, atol=5e-3)
+
+
+def test_make_predictor_requires_love_for_iterative():
+    import pytest as _pytest
+
+    spec, params, buffers, x, y, _ = _setup(
+        n=150, love_rank=0, max_cholesky_size=16)
+    with _pytest.raises(ValueError):
+        iterative.make_predictor(spec, params, buffers, x, y)
