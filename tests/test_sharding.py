@@ -430,3 +430,30 @@ def test_distributed_posterior_ski_love_matches_single_device():
     np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_s), atol=2e-3)
     np.testing.assert_allclose(np.asarray(var), np.asarray(var_s),
                                rtol=3e-2, atol=3e-3)
+
+
+def test_distributed_posterior_2d_mesh_comp_axis():
+    """Distributed posterior on a 2-D (data x comp) mesh: the J
+    components are sharded over the comp axis during prediction too
+    (sliced params/projections, comp-psum'd cross-MVMs and diagonals)."""
+    from jax.sharding import Mesh
+
+    cpus = _cpus()
+    mesh = Mesh(np.asarray(cpus[:8]).reshape(4, 2),
+                axis_names=("data", "comp"))
+    spec, params, buffers, x, y, xt = _posterior_setup(
+        n=160, n_test=24,
+        kernel=KernelSpec.polynomial(J=4, d=1),
+        cg_max_iters=80, cg_tol=1e-8, precond_rank=0, love_rank=80,
+    )
+    from rpagp.ops import iterative
+
+    mu_s, var_s = iterative.iterative_posterior(spec, params, buffers,
+                                                x, y, xt)
+    predict_d = sharding.make_distributed_posterior(spec, mesh,
+                                                    n_global=x.shape[0])
+    xs, ys = sharding.shard_rows(x, mesh), sharding.shard_rows(y, mesh)
+    mu, var = predict_d(params, buffers, xs, ys, xt, jax.random.key(44))
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_s), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_s),
+                               rtol=3e-2, atol=3e-3)
