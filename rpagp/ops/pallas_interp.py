@@ -93,10 +93,20 @@ def _shift_last(a, d):
 # ---------------------------------------------------------------------------
 
 
-def _transpose_kernel(tf_ref, v_ref, u_ref, acc_ref, *, m, t, nb):
-    j, i = pl.program_id(0), pl.program_id(1)
+def _transpose_kernel(tf_ref, v_ref, u_ref, acc_ref, *, m, t, nb, J):
+    """Grid (nb, J), j INNERMOST: the tfrac slab and V block have
+    j-independent index maps, so Pallas fetches them once per point
+    block and the J component passes reuse them from VMEM — the naive
+    (J, nb) order re-streamed ~4 GB/direction of tfrac+V at flagship
+    scale (measured ~5 ms/CG-iter of pure redundant DMA).
 
-    @pl.when(i == 0)
+    The tap shifts + hi/lo combine are applied PER BLOCK (they are
+    linear, so order with accumulation doesn't matter), shrinking the
+    accumulator from (8t, m) per component to one resident (J, t, m)
+    scratch written back once at the final invocation."""
+    i, j = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
@@ -111,17 +121,18 @@ def _transpose_kernel(tf_ref, v_ref, u_ref, acc_ref, *, m, t, nb):
     # Mosaic has no float iota)
     cells = jax.lax.broadcasted_iota(jnp.int32, (m, X.shape[1]), 0)
     E = (cells == i0.astype(jnp.int32)[None, :]).astype(jnp.bfloat16)
-    acc_ref[:] += jax.lax.dot_general(
+    P = jax.lax.dot_general(
         X2, E, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (8t, m) — m on lanes so the final tap shifts are lane rolls
+    )  # (8t, m) — m on lanes so the tap shifts are lane rolls
+    A = P[: 4 * t] + P[4 * t :]  # (4t, m) hi+lo
+    out = jnp.zeros((t, m), jnp.float32)
+    for k, d in enumerate((-1, 0, 1, 2)):
+        out = out + _shift_last(A[k * t : (k + 1) * t], d)
+    acc_ref[j] += out
 
-    @pl.when(i == nb - 1)
+    @pl.when(jnp.logical_and(i == nb - 1, j == J - 1))
     def _():
-        A = acc_ref[: 4 * t] + acc_ref[4 * t :]  # (4t, m)
-        out = jnp.zeros((t, m), jnp.float32)
-        for k, d in enumerate((-1, 0, 1, 2)):
-            out = out + _shift_last(A[k * t : (k + 1) * t], d)
-        u_ref[0] = out  # (t, m)
+        u_ref[:] = acc_ref[:]
 
 
 def transpose_call(tfrac, VT, m: int, interpret: bool = False):
@@ -130,23 +141,24 @@ def transpose_call(tfrac, VT, m: int, interpret: bool = False):
     t = VT.shape[0]
     assert n_pad % BN == 0, (n_pad, BN)
     nb = n_pad // BN
-    kernel = functools.partial(_transpose_kernel, m=m, t=t, nb=nb)
+    kernel = functools.partial(_transpose_kernel, m=m, t=t, nb=nb, J=J)
     return pl.pallas_call(
         kernel,
-        grid=(J, nb),
+        grid=(nb, J),  # j innermost: see kernel docstring
         in_specs=[
             # (J, BN) slab: a (1, BN) block is illegal (second-to-last
             # block dim must divide 8 or equal the array dim); the whole
-            # J-row slab is KBs and the kernel picks its row
-            pl.BlockSpec((J, BN), lambda j, i: (0, i),
+            # J-row slab is KBs, fetched once per i, and the kernel
+            # picks its row
+            pl.BlockSpec((J, BN), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, BN), lambda j, i: (0, i),
+            pl.BlockSpec((t, BN), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, t, m), lambda j, i: (j, 0, 0),
+        out_specs=pl.BlockSpec((J, t, m), lambda i, j: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((J, t, m), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((8 * t, m), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((J, t, m), jnp.float32)],
         interpret=interpret,
     )(tfrac, VT)
 

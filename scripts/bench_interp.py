@@ -1,4 +1,6 @@
-import time, jax, jax.numpy as jnp
+import os, sys, time
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import jax, jax.numpy as jnp
 from rpagp.ops import ski, pallas_interp as pi
 from rpagp.ops.kernels import KernelSpec
 from rpagp.ops import kernels
