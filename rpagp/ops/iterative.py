@@ -164,13 +164,15 @@ def _make_inv_quad_logdet(spec: ModelSpec):
         def h(p, yy):
             noise = exact_gp.noise_value(p)
             yc = yy - exact_gp.mean_fn(spec, p, x)
+            # ONE batched MVM for both heads — the t-independent kernel
+            # costs (tfrac streaming, one-hot build) are paid once
+            K_AM = _kernel_mvm(spec, p, buffers, x, x,
+                               jnp.concatenate([alpha[:, None], MZ], axis=1),
+                               states=sts, allow_pallas=True)
+            Ka, KM = K_AM[:, 0], K_AM[:, 1:]
             # inv-quad total derivative: -α^T A α + 2 α^T y_c
-            Ka = _kernel_mvm(spec, p, buffers, x, x, alpha[:, None],
-                             states=sts, allow_pallas=True)[:, 0]
             quad_y = -(alpha @ Ka + noise * (alpha @ alpha)) + 2.0 * (alpha @ yc)
             # logdet trace estimator: (1/t) Σ s_i^T A m_i
-            KM = _kernel_mvm(spec, p, buffers, x, x, MZ, states=sts,
-                             allow_pallas=True)
             tr = (jnp.sum(S * KM) + noise * jnp.sum(S * MZ)) / t
             return g_iq * quad_y + g_ld * tr
 

@@ -395,11 +395,14 @@ def distributed_mll(spec: ModelSpec, params, buffers, x_local, y_local,
 
     # ---- differentiable heads (quadratic forms; grads are the probe
     #      trace estimator, matching ops.iterative's custom_vjp) ----
-    Ay = kmvm(params_l, alpha_vec[:, None])[:, 0] + noise * alpha_vec
+    # ONE batched MVM for both heads (t-independent kernel costs paid once)
+    AM = jnp.concatenate([alpha_vec[:, None], MZ], axis=1)
+    K_AM = kmvm(params_l, AM) + noise * AM
+    Ay = K_AM[:, 0]
     inv_quad = jax.lax.psum(
         2.0 * jnp.sum(alpha_vec * yc) - jnp.sum(alpha_vec * Ay), axis
     )
-    AS = kmvm(params_l, MZ) + noise * MZ
+    AS = K_AM[:, 1:]
     t = S.shape[1]
     surr_tr = jax.lax.psum(jnp.sum(S * AS), axis) / t  # grad == d logdet
 
