@@ -15,6 +15,8 @@ control flow enters the compiled program.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 
 from .models import exact_gp
@@ -33,9 +35,9 @@ def mll(spec: ModelSpec, params, buffers, x, y, key=None):
     return iterative_mll(spec, params, buffers, x, y, key)
 
 
-def posterior(spec: ModelSpec, params, buffers, x_train, y_train, x_test,
-              observation_noise: bool = True):
-    """Posterior predictive (mean, var) with the same size dispatch."""
+@functools.partial(jax.jit, static_argnums=(0, 6))
+def _posterior_jit(spec, params, buffers, x_train, y_train, x_test,
+                   observation_noise):
     n = x_train.shape[0]
     if n <= spec.max_cholesky_size and not spec.kernel.ski:
         return exact_gp.predict(
@@ -48,6 +50,18 @@ def posterior(spec: ModelSpec, params, buffers, x_train, y_train, x_test,
         spec, params, buffers, x_train, y_train, x_test,
         observation_noise=observation_noise,
     )
+
+
+def posterior(spec: ModelSpec, params, buffers, x_train, y_train, x_test,
+              observation_noise: bool = True):
+    """Posterior predictive (mean, var) with the same size dispatch.
+
+    Jitted as ONE program (spec static): the eager path dispatches every
+    primitive separately, which on remote-compile TPU transports costs
+    a per-op compile + round trip — a cold d>=2 exact posterior took
+    MINUTES eagerly vs seconds under jit."""
+    return _posterior_jit(spec, params, buffers, x_train, y_train, x_test,
+                          bool(observation_noise))
 
 
 def make_predictor(spec: ModelSpec, params, buffers, x_train, y_train,
@@ -69,11 +83,9 @@ def make_predictor(spec: ModelSpec, params, buffers, x_train, y_train,
                     observation_noise=observation_noise)
 
 
-def posterior_cov(spec: ModelSpec, params, buffers, x_train, y_train,
-                  x_test, observation_noise: bool = False):
-    """Posterior (mean, FULL covariance) at a modest test batch, with the
-    same size dispatch ([G] exact_prediction_strategies.py predictive
-    covar: exact Cholesky small-n, LOVE / CG solves large-n)."""
+@functools.partial(jax.jit, static_argnums=(0, 6))
+def _posterior_cov_jit(spec, params, buffers, x_train, y_train, x_test,
+                       observation_noise):
     n = x_train.shape[0]
     if n <= spec.max_cholesky_size and not spec.kernel.ski:
         from .models.exact_gp import predict_cov
@@ -86,6 +98,16 @@ def posterior_cov(spec: ModelSpec, params, buffers, x_train, y_train,
         spec, params, buffers, x_train, y_train, x_test,
         observation_noise=observation_noise,
     )
+
+
+def posterior_cov(spec: ModelSpec, params, buffers, x_train, y_train,
+                  x_test, observation_noise: bool = False):
+    """Posterior (mean, FULL covariance) at a modest test batch, with the
+    same size dispatch ([G] exact_prediction_strategies.py predictive
+    covar: exact Cholesky small-n, LOVE / CG solves large-n). One jitted
+    program (see posterior)."""
+    return _posterior_cov_jit(spec, params, buffers, x_train, y_train,
+                              x_test, bool(observation_noise))
 
 
 def sample_posterior(spec: ModelSpec, params, buffers, x_train, y_train,

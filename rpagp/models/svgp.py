@@ -26,6 +26,7 @@ params (beyond the base kernel/noise/mean):
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -120,9 +121,12 @@ def elbo(spec: ModelSpec, params, buffers, x_batch, y_batch, n_total: int):
     return lik_term - kl
 
 
+@functools.partial(jax.jit, static_argnums=(0, 4))
 def svgp_predict(spec: ModelSpec, params, buffers, x_test,
                  observation_noise: bool = True):
-    """Predictive marginals at x_test (adds likelihood noise by default)."""
+    """Predictive marginals at x_test (adds likelihood noise by default).
+    Jitted as one program — eager dispatch costs a per-op remote compile
+    on TPU transports (see mll.posterior)."""
     mu, var = _predictive_qf(spec, params, buffers, x_test)
     if observation_noise:
         var = var + noise_value(params)

@@ -45,6 +45,27 @@ def test_runner_end_to_end_exact_kernel():
         assert ("challenger", "it_exact") in agg
 
 
+def test_runner_degree2_end_to_end():
+    """Degree-2 components through the full runner path (regression: the
+    eager posterior used to cost a per-op remote compile on TPU
+    transports — minutes for the d=2 graph; mll.posterior is now one
+    jitted program)."""
+    with tempfile.TemporaryDirectory() as d:
+        spec = _write_spec(d, {
+            "name": "it_d2",
+            "kernel": {"type": "projection", "J": 4, "d": 2},
+            "training": {"lr": 0.1, "max_iters": 30, "patience": 10},
+        })
+        out = os.path.join(d, "r.csv")
+        runner.main([
+            "--model_spec", spec, "--datasets", "challenger",
+            "--splits", "5", "--max_splits", "1", "--output", out,
+        ])
+        rows = list(csv.DictReader(open(out)))
+        assert len(rows) == 1
+        assert np.isfinite(float(rows[0]["rmse"]))
+
+
 def test_runner_iterative_dispatch_band():
     """Force the BBMM path via a tiny max_cholesky_size; the model must
     still beat the constant predictor (RMSE < 1 on z-scored targets)."""
