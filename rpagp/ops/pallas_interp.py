@@ -88,6 +88,18 @@ def _shift_last(a, d):
     return jnp.where(mask, r, 0.0)
 
 
+def _one_hot(i0, m):
+    """E (m, bn) bf16 one-hot of the (f32 floor-valued) base cells:
+    int32 iota-compare, one VPU op per element.
+
+    (A bf16-compare variant — exact for m <= 256 where every index is
+    representable, hoping for 2-packed compares — was tried in round 2:
+    Mosaic rejects the bf16 eq lowering inside the kernel. Not a lever.)"""
+    bn = i0.shape[0]
+    cells = jax.lax.broadcasted_iota(jnp.int32, (m, bn), 0)
+    return (cells == i0.astype(jnp.int32)[None, :]).astype(jnp.bfloat16)
+
+
 # ---------------------------------------------------------------------------
 # transpose direction: U[j] = W_j^T V,  (n, t) -> (J, t, m)
 # ---------------------------------------------------------------------------
@@ -119,8 +131,7 @@ def _transpose_kernel(tf_ref, v_ref, u_ref, acc_ref, *, m, t, nb, J):
     X2 = jnp.concatenate([Xhi, Xlo], axis=0)  # (8t, bn) bf16
     # E^T tile: (m, bn) one-hot of i0 — exact in bf16 (int32 iota;
     # Mosaic has no float iota)
-    cells = jax.lax.broadcasted_iota(jnp.int32, (m, X.shape[1]), 0)
-    E = (cells == i0.astype(jnp.int32)[None, :]).astype(jnp.bfloat16)
+    E = _one_hot(i0, m)
     P = jax.lax.dot_general(
         X2, E, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (8t, m) — m on lanes so the tap shifts are lane rolls
@@ -182,8 +193,7 @@ def _apply_kernel(tf_ref, g_ref, o_ref, *, m, t, J):
     G4 = jnp.concatenate([_shift_last(G, -d) for d in (-1, 0, 1, 2)], 0)
     Ghi, Glo = _split_hi_lo(G4)
     G8 = jnp.concatenate([Ghi, Glo], axis=0)  # (8t, m) bf16
-    cells = jax.lax.broadcasted_iota(jnp.int32, (m, tf.shape[0]), 0)
-    E = (cells == i0.astype(jnp.int32)[None, :]).astype(jnp.bfloat16)  # (m, bn)
+    E = _one_hot(i0, m)  # (m, bn)
     R = jax.lax.dot_general(
         G8, E, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # (8t, bn)
