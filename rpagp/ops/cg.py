@@ -23,6 +23,14 @@ Numerical guards: converged columns get their updates frozen by a mask
 tridiagonal entries for frozen iterations are patched to extend T with
 decoupled unit eigenvalues (offdiag 0), which contribute nothing to
 e1^T log(T) e1.
+
+BEST-ITERATE TRACKING: at condition numbers ~1e8 (noise trained to its
+floor at large n — the near-interpolation regime) f32 CG does not just
+stall, it DIVERGES (measured relres 119 after 80 iters at n=20k; the
+returned "solution" exploded the posterior mean by 1e3 on z-scored
+targets). Both variants therefore return the iterate with the SMALLEST
+relative residual seen per column — identical to the final iterate
+whenever CG behaves, and a bounded best-effort solve when it doesn't.
 """
 
 from __future__ import annotations
@@ -72,8 +80,7 @@ def batched_pcg(
     rz0 = jnp.sum(R0 * Z0, axis=0)
 
     def step(carry, _):
-        X, R, Z, P, rz = carry
-        resid = jnp.linalg.norm(R, axis=0) / b_norm
+        X, R, Z, P, rz, resid, X_best, r_best = carry
         active = resid > tol  # (t,) columns still converging
 
         V = A_mvm(P)  # (n, t)  <-- the one kernel MVM
@@ -88,17 +95,23 @@ def batched_pcg(
         beta = rz_new / jnp.where(jnp.abs(rz) < _EPS, _EPS, rz)
         beta = jnp.where(active, beta, 0.0)
         P = Z_new + beta * P
-        return (X, R_new, Z_new, P, rz_new), (alpha, beta)
+        # best-iterate tracking (see module docstring); the carried resid
+        # doubles as next step's convergence mask (one norm per iter)
+        resid_new = jnp.linalg.norm(R_new, axis=0) / b_norm
+        better = resid_new < r_best
+        X_best = jnp.where(better[None, :], X, X_best)
+        r_best = jnp.where(better, resid_new, r_best)
+        return (X, R_new, Z_new, P, rz_new, resid_new, X_best, r_best), (alpha, beta)
 
-    (X, R, _, _, _), (alphas, betas) = jax.lax.scan(
-        step, (X0, R0, Z0, P0, rz0), None, length=max_iters
+    ones = jnp.ones((B.shape[1],), B.dtype)
+    (_, _, _, _, _, _, X_best, r_best), (alphas, betas) = jax.lax.scan(
+        step, (X0, R0, Z0, P0, rz0, ones, X0, ones), None, length=max_iters
     )
-    resid = jnp.linalg.norm(R, axis=0) / b_norm
     return CGResult(
-        solution=X,
+        solution=X_best,
         alphas=alphas,
         betas=betas,
-        residual_norm=resid,
+        residual_norm=r_best,
         iterations=jnp.asarray(max_iters),
     )
 
@@ -127,12 +140,11 @@ def batched_pcg_while(
     rz0 = jnp.sum(R0 * Z0, axis=0)
 
     def cond(state):
-        i, X, R, Z, P, rz = state
-        resid = jnp.linalg.norm(R, axis=0) / b_norm
+        i, X, R, Z, P, rz, resid, X_best, r_best = state
         return jnp.logical_and(i < max_iters, jnp.max(resid) > tol)
 
     def body(state):
-        i, X, R, Z, P, rz = state
+        i, X, R, Z, P, rz, _, X_best, r_best = state
         V = A_mvm(P)
         pv = jnp.sum(P * V, axis=0)
         alpha = rz / jnp.where(jnp.abs(pv) < _EPS, _EPS, pv)
@@ -142,15 +154,21 @@ def batched_pcg_while(
         rz_new = jnp.sum(R * Z, axis=0)
         beta = rz_new / jnp.where(jnp.abs(rz) < _EPS, _EPS, rz)
         P = Z + beta * P
-        return (i + 1, X, R, Z, P, rz_new)
+        resid = jnp.linalg.norm(R, axis=0) / b_norm
+        better = resid < r_best
+        X_best = jnp.where(better[None, :], X, X_best)
+        r_best = jnp.where(better, resid, r_best)
+        return (i + 1, X, R, Z, P, rz_new, resid, X_best, r_best)
 
-    i, X, R, _, _, _ = jax.lax.while_loop(cond, body, (0, X0, R0, Z0, Z0, rz0))
-    resid = jnp.linalg.norm(R, axis=0) / b_norm
+    ones = jnp.ones((B.shape[1],), B.dtype)
+    i, _, _, _, _, _, _, X_best, r_best = jax.lax.while_loop(
+        cond, body, (0, X0, R0, Z0, Z0, rz0, ones, X0, ones)
+    )
     return CGResult(
-        solution=X,
+        solution=X_best,
         alphas=jnp.zeros((0, B.shape[1]), B.dtype),
         betas=jnp.zeros((0, B.shape[1]), B.dtype),
-        residual_norm=resid,
+        residual_norm=r_best,
         iterations=i,
     )
 

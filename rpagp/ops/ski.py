@@ -210,12 +210,22 @@ def sym_toeplitz_matmul(col, U):
 
     (A direct T-materialization + MXU einsum alternative was measured at
     parity with the FFT at the flagship m=256 — 624 vs 619 ms/step,
-    docs/BENCHMARKS.md r2 — so the simpler FFT plan stays.)"""
+    docs/BENCHMARKS.md r2 — so the simpler FFT plan stays.)
+
+    SYMMETRY ENFORCEMENT: the symmetric embedding's spectrum is exactly
+    real, so only roundoff lives in Im(rfft) — dropping it makes the
+    grid operator exactly symmetric by construction (CG/Lanczos at the
+    near-interpolation extremes are unforgiving of asymmetric roundoff).
+    NOTE: clamping the eigenvalues at zero was tried and is WRONG — the
+    minimal circulant embedding of an RBF Toeplitz has LEGITIMATE
+    negative eigenvalues (~1e-3 scale here); only the Toeplitz submatrix
+    is PSD, and clamping biased the operator by ~4e-3 (caught by the
+    dense-oracle tests)."""
     J, m = col.shape
     circ = jnp.concatenate(
         [col, jnp.zeros((J, 1), col.dtype), col[:, -1:0:-1]], axis=1
     )  # (J, 2m)
-    C = jnp.fft.rfft(circ, axis=-1)  # (J, m+1)
+    C = jnp.fft.rfft(circ, axis=-1).real  # (J, m+1)
     Upad = jnp.concatenate([U, jnp.zeros_like(U)], axis=-1)  # (J, t, 2m)
     F = jnp.fft.rfft(Upad, axis=-1)  # (J, t, m+1)
     out = jnp.fft.irfft(C[:, None, :] * F, n=2 * m, axis=-1)

@@ -265,8 +265,7 @@ def sharded_pcg(A_mvm, B, M_inv, iters: int, tol: float, axis: str = AXIS):
     b_norm = jnp.where(b_norm < 1e-20, 1.0, b_norm)
 
     def step(carry, _):
-        Xs, R, Zp, Pd, rz = carry
-        resid = jnp.sqrt(_psum_dot(R, R, axis)) / b_norm
+        Xs, R, Zp, Pd, rz, resid, X_best, r_best = carry
         active = resid > tol
         V = A_mvm(Pd)
         pv = _psum_dot(Pd, V, axis)
@@ -279,10 +278,19 @@ def sharded_pcg(A_mvm, B, M_inv, iters: int, tol: float, axis: str = AXIS):
         beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
         beta = jnp.where(active, beta, 0.0)
         Pd = Zp + beta * Pd
-        return (Xs, R, Zp, Pd, rz_new), (alpha, beta)
+        # best-iterate tracking (ops.cg module docstring): bounded
+        # best-effort solves when f32 CG diverges at extreme condition.
+        # The carried resid doubles as next step's convergence mask
+        # (one residual psum per iteration, not two).
+        resid_new = jnp.sqrt(_psum_dot(R, R, axis)) / b_norm
+        better = resid_new < r_best
+        X_best = jnp.where(better[None, :], Xs, X_best)
+        r_best = jnp.where(better, resid_new, r_best)
+        return (Xs, R, Zp, Pd, rz_new, resid_new, X_best, r_best), (alpha, beta)
 
-    (solves, _, _, _, _), (alphas, betas) = jax.lax.scan(
-        step, (X0, R0, Z0, Z0, rz0), None, length=iters
+    ones = jnp.ones((B.shape[1],), B.dtype)
+    (_, _, _, _, _, _, solves, _), (alphas, betas) = jax.lax.scan(
+        step, (X0, R0, Z0, Z0, rz0, ones, X0, ones), None, length=iters
     )
     return solves, alphas, betas
 

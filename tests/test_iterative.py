@@ -117,6 +117,33 @@ def test_pcg_while_converges_early_and_matches():
     np.testing.assert_allclose(np.asarray(res.solution), want, rtol=2e-2, atol=2e-3)
 
 
+@pytest.mark.parametrize("variant", ["scan", "while"])
+def test_pcg_best_iterate_bounds_divergent_solves(variant):
+    """Near-interpolation regression (HouseElectric, noise at its floor):
+    at condition ~1e8 f32 CG does not stall, it diverges — the final
+    iterate's relative residual was measured at >100 before the
+    best-iterate contract (ops/cg.py module docstring). The returned
+    iterate must never be worse than the zero initial guess."""
+    rng = np.random.default_rng(0)
+    n = 400
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    lam = np.logspace(-8, 0, n)  # kappa = 1e8, log-uniform spectrum
+    A = jnp.asarray((Q * lam) @ Q.T, jnp.float32)
+    B = jnp.asarray(rng.standard_normal((n, 2)), jnp.float32)
+    fn = cg_mod.batched_pcg if variant == "scan" else cg_mod.batched_pcg_while
+    res = fn(_mm(A), B, None, max_iters=300, tol=1e-10)
+    # reported residual is the best seen — bounded by the zero iterate
+    assert float(jnp.max(res.residual_norm)) <= 1.0 + 1e-5
+    # and the returned solution actually achieves a bounded TRUE residual
+    # (recomputed in f64, independent of the recursion's drift)
+    true_r = np.linalg.norm(
+        np.asarray(A, np.float64) @ np.asarray(res.solution, np.float64)
+        - np.asarray(B, np.float64), axis=0,
+    ) / np.linalg.norm(np.asarray(B, np.float64), axis=0)
+    assert true_r.max() <= 1.1
+    assert bool(jnp.isfinite(res.solution).all())
+
+
 def test_tridiags_eigenvalues_live_in_spectrum():
     spec, params, buffers, x, _ = _setup(n=100)
     A = _dense_A(spec, params, buffers, x)
