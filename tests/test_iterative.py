@@ -144,6 +144,27 @@ def test_pcg_best_iterate_bounds_divergent_solves(variant):
     assert bool(jnp.isfinite(res.solution).all())
 
 
+def test_posterior_bounded_at_noise_floor():
+    """Full-stack near-interpolation regression (the HouseElectric
+    failure at small scale): with the likelihood noise at its 1e-4 floor
+    the train covariance has kappa ~1e7+ and f32 CG diverges; before the
+    best-iterate contract the posterior mean exploded (|mu| ~ 1e3 on
+    z-scored targets at n=1.8M). The posterior must stay bounded."""
+    spec, params, buffers, x, y = _setup(
+        n=1200, seed=7, max_cholesky_size=256, cg_max_iters=20,
+        precond_rank=0, love_rank=0,
+    )
+    params = dict(params, raw_noise=jnp.asarray(-20.0))  # noise -> 1e-4 floor
+    mu, var = iterative.iterative_posterior(
+        spec, params, buffers, x, y, x[:300]
+    )
+    assert bool(jnp.isfinite(mu).all()) and bool(jnp.isfinite(var).all())
+    # y is O(1); a diverged mean solve overshoots this by orders of magnitude
+    assert float(jnp.max(jnp.abs(mu))) < 5.0
+    assert float(jnp.min(var)) >= 0.0
+    assert float(jnp.max(var)) < 5.0
+
+
 def test_tridiags_eigenvalues_live_in_spectrum():
     spec, params, buffers, x, _ = _setup(n=100)
     A = _dense_A(spec, params, buffers, x)
