@@ -48,8 +48,10 @@ from ..ops.exact import LOG_2PI
 AXIS = "data"
 
 
-def make_mesh(devices=None, axis: str = AXIS) -> Mesh:
-    """1-D data mesh over all (or the given) devices.
+def make_mesh(devices=None, axis: str = AXIS, comp: int = 1) -> Mesh:
+    """Data mesh over all (or the given) devices; 2-D (data x comp) when
+    comp > 1 (the TP/EP analog: kernel components sharded over `comp`,
+    rows over `axis`; J must divide comp — see _slice_components).
 
     Honors jax_default_device (repo convention — the axon TPU plugin in
     this image ignores JAX_PLATFORMS=cpu, so CPU-pinned programs must not
@@ -63,7 +65,14 @@ def make_mesh(devices=None, axis: str = AXIS) -> Mesh:
             devices = jax.devices()
     import numpy as np
 
-    return Mesh(np.asarray(devices), axis_names=(axis,))
+    devices = np.asarray(devices)
+    if comp > 1:
+        if devices.size % comp:
+            raise ValueError(
+                f"comp={comp} must divide the {devices.size}-device mesh")
+        return Mesh(devices.reshape(devices.size // comp, comp),
+                    axis_names=(axis, COMP_AXIS))
+    return Mesh(devices, axis_names=(axis,))
 
 
 def shard_rows(arr, mesh: Mesh):

@@ -45,7 +45,7 @@ CSV_COLUMNS = [
 
 
 def run_split(exp: ExperimentSpec, split, seed: int = 0,
-              distributed: bool = False):
+              distributed: bool = False, comp_shards: int = 1):
     """Train on one split, return metrics dict (SURVEY.md §3.1 inner loop)."""
     x = jnp.asarray(split.train_x)
     y = jnp.asarray(split.train_y)
@@ -56,7 +56,8 @@ def run_split(exp: ExperimentSpec, split, seed: int = 0,
     if exp.model_family == "svgp":
         return _run_split_svgp(exp, x, y, xt, yt, seed)
     if distributed:
-        return _run_split_distributed(exp, x, y, xt, yt, seed)
+        return _run_split_distributed(exp, x, y, xt, yt, seed,
+                                      comp_shards=comp_shards)
 
     params, buffers = exact_gp.init_model(jax.random.key(seed), spec, x.shape[1])
     buffers = exact_gp.prepare_buffers(spec, params, buffers, x)
@@ -140,15 +141,18 @@ def _run_split_svgp(exp: ExperimentSpec, x, y, xt, yt, seed: int):
     }
 
 
-def _run_split_distributed(exp: ExperimentSpec, x, y, xt, yt, seed: int):
+def _run_split_distributed(exp: ExperimentSpec, x, y, xt, yt, seed: int,
+                           comp_shards: int = 1):
     """Multi-chip branch: row-sharded SPMD training over the full device
-    mesh (parallel/sharding.py) and sharded posterior prediction."""
+    mesh (parallel/sharding.py) and sharded posterior prediction. With
+    comp_shards > 1 the mesh is 2-D (data x comp) and kernel components
+    are sharded over the comp axis (the TP/EP analog)."""
     from .parallel import sharding
 
     spec = exp.model
-    mesh = sharding.make_mesh()
-    ndev = mesh.devices.size
-    n = (x.shape[0] // ndev) * ndev  # rows must divide the mesh
+    mesh = sharding.make_mesh(comp=comp_shards)
+    ndata = mesh.shape[sharding.AXIS]
+    n = (x.shape[0] // ndata) * ndata  # rows must divide the data axis
     x, y = x[:n], y[:n]
 
     params, buffers = exact_gp.init_model(jax.random.key(seed), spec, x.shape[1])
@@ -216,10 +220,21 @@ def main(argv=None):
     ap.add_argument("--max_points", type=int, default=None)
     ap.add_argument("--distributed", action="store_true",
                     help="row-shard training over all devices (SPMD mesh)")
+    ap.add_argument("--comp_shards", type=int, default=1,
+                    help="with --distributed: shard kernel components over "
+                         "a second mesh axis of this size (J must divide it)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin jax_default_device to cpu:0 (the axon TPU "
+                         "plugin ignores JAX_PLATFORMS=cpu; combine with "
+                         "XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                         "to drive --distributed on a virtual CPU mesh)")
     ap.add_argument("--profile", metavar="LOGDIR", default=None,
                     help="write a jax.profiler trace of the first split "
                          "to LOGDIR (view in TensorBoard)")
     args = ap.parse_args(argv)
+
+    if args.cpu:
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
     exp = load_spec(args.model_spec)
     rows = []
@@ -236,12 +251,14 @@ def main(argv=None):
 
                 with trace(args.profile):
                     m = run_split(exp, split, seed=args.seed + i,
-                                  distributed=args.distributed)
+                                  distributed=args.distributed,
+                                  comp_shards=args.comp_shards)
                 print(f"[profile] trace written to {args.profile}",
                       file=sys.stderr)
             else:
                 m = run_split(exp, split, seed=args.seed + i,
-                              distributed=args.distributed)
+                              distributed=args.distributed,
+                              comp_shards=args.comp_shards)
             row = {
                 "dataset": ds_name,
                 "split": i,

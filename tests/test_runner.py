@@ -128,6 +128,41 @@ def test_runner_distributed_end_to_end():
         assert float(rows[0]["rmse"]) < 1.1
 
 
+def test_runner_distributed_comp_shards_end_to_end():
+    """--distributed --comp_shards 2: 2-D (data x comp) mesh — kernel
+    components sharded over the comp axis, rows over data — through the
+    full runner path including the sharded posterior."""
+    import jax
+
+    try:
+        n_cpu = len(jax.devices("cpu"))
+    except RuntimeError:
+        n_cpu = 0
+    if n_cpu < 4:
+        pytest.skip("needs >=4 devices for a 2x2 mesh")
+    with tempfile.TemporaryDirectory() as d:
+        spec = _write_spec(d, {
+            "name": "it_dist_comp",
+            "kernel": {"type": "projection", "J": 4, "d": 1,
+                       "ski": True, "grid_size": 32},
+            "training": {"lr": 0.1, "max_iters": 25, "patience": 10},
+            "inference": {"max_cholesky_size": 16, "cg_max_iters": 30,
+                          "precond_rank": 0, "num_probes": 8,
+                          "love_rank": 40},
+        })
+        out = os.path.join(d, "r.csv")
+        runner.main([
+            "--model_spec", spec, "--datasets", "fertility",
+            "--splits", "5", "--max_splits", "1", "--output", out,
+            "--distributed", "--comp_shards", "2",
+        ])
+        rows = list(csv.DictReader(open(out)))
+        assert len(rows) == 1
+        assert np.isfinite(float(rows[0]["rmse"]))
+        assert np.isfinite(float(rows[0]["nll"]))
+        assert float(rows[0]["rmse"]) < 1.1
+
+
 def test_runner_rejects_unknown_dataset():
     with tempfile.TemporaryDirectory() as d:
         spec = _write_spec(d, {"kernel": {"type": "rbf"}})
