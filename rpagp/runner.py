@@ -173,8 +173,13 @@ def _run_split_distributed(exp: ExperimentSpec, x, y, xt, yt, seed: int,
     ema = None
     for i in range(exp.train.max_iters):
         key, k = jax.random.split(key)
+        params_prev = params if i == 0 else None
         params, opt_state, loss = step(params, buffers, opt_state, xs, ys, k,
                                        ski_state)
+        if params_prev is not None:
+            from .train import _warn_if_frozen
+
+            _warn_if_frozen(params_prev, params)
         loss = float(loss)
         losses.append(loss)
         if not jnp.isfinite(loss):

@@ -70,6 +70,34 @@ def make_step(loss_fn: Callable, optimizer, with_key: bool = False) -> Callable:
     return step
 
 
+def _warn_if_frozen(params_prev, params):
+    """Zero-gradient stall detection (failure-detection subsystem).
+
+    An Adam step moves every parameter with a nonzero gradient by ~lr
+    regardless of gradient scale, so bitwise-unchanged params after the
+    FIRST step mean the gradient was exactly zero. With the iterative MLL
+    that has one known cause: CG made no progress (best-iterate returned
+    the zero initial guess — ops/cg.py), which happens at large n with
+    precond_rank=0 where lambda_max ~ O(n) swamps an unpreconditioned
+    short CG. The loss alone cannot reveal this (SLQ probe noise still
+    jitters it), so training would otherwise burn max_iters silently."""
+    moved = any(
+        bool(jnp.any(a != b))
+        for a, b in zip(jax.tree.leaves(params_prev), jax.tree.leaves(params))
+    )
+    if not moved:
+        import sys
+
+        print(
+            "[warn] training stalled at step 0: the optimizer step changed "
+            "no parameter (gradient exactly zero). With the iterative MLL "
+            "this means CG made no progress on the initial system — enable "
+            "preconditioning (spec.precond_rank ~ 15) or raise "
+            "cg_max_iters.",
+            file=sys.stderr,
+        )
+
+
 def train_to_convergence(
     loss_fn: Callable,
     params,
@@ -117,11 +145,14 @@ def train_to_convergence(
     for i in range(max_iters):
         if args_refresh is not None and i > 0 and i % args_refresh[0] == 0:
             loss_args = args_refresh[1](params, loss_args)
+        params_prev = params if i == 0 else None
         if stochastic:
             key, sub = jax.random.split(key)
             params, opt_state, loss = step(params, opt_state, *loss_args, sub)
         else:
             params, opt_state, loss = step(params, opt_state, *loss_args)
+        if params_prev is not None:
+            _warn_if_frozen(params_prev, params)
         loss = float(loss)
         losses.append(loss)
         if verbose and i % 50 == 0:

@@ -91,3 +91,18 @@ def test_checkpointed_training_converges_with_patience():
     # 10 flat steps before + patience 12 -> stops ~3 steps in, not 12
     assert resumed.converged
     assert resumed.iterations <= 6
+
+
+def test_zero_gradient_stall_warning(capsys):
+    """Failure detection: exactly-zero gradients (the frozen-training
+    signature of a no-progress CG, ops/cg.py best-iterate) must warn on
+    the first step; a live objective must not."""
+    import jax.numpy as jnp
+
+    from rpagp.train import train_to_convergence
+
+    p0 = {"w": jnp.ones((3,))}
+    train_to_convergence(lambda p: jnp.sum(p["w"]) * 0.0, p0, max_iters=3)
+    assert "stalled" in capsys.readouterr().err
+    train_to_convergence(lambda p: jnp.sum(p["w"] ** 2), p0, max_iters=3)
+    assert "stalled" not in capsys.readouterr().err
