@@ -3,10 +3,13 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 The driver metric (BASELINE.md): MLL-step wall-clock for RPA-GP with SKI
-MVMs at large n. This bench runs the J=20, grid-256 SKI (dense interp
-plan) + BBMM-CG(20) + SLQ(8 probes) value-and-grad step — the exact hot
-path of config 5 — at HouseElectric scale unless RPAGP_BENCH_N
-overrides.
+MVMs at large n. This bench runs the flagship J=20, grid-256 SKI
+value-and-grad step at HouseElectric scale unless RPAGP_BENCH_N
+overrides. The solver is whatever the spec dispatches to — since r2g
+that is the EXACT grid-space Woodbury solver (ops/grid_solve.py: no
+CG, no SLQ, deterministic plain-autodiff gradients ~1000x closer to the
+oracle than the probe estimator). RPAGP_BENCH_SOLVER=bbmm benches the
+reference-style BBMM CG(20) + SLQ(8 probes) estimator path instead.
 
 Grid size: m=256 is evidence-based, not a speed hack — the grid-size
 study (scripts/grid_accuracy.py + the r2c knee extension,
@@ -60,7 +63,7 @@ def reference_step_s(n: int) -> float:
 
 def main():
     from rpagp.models import exact_gp
-    from rpagp.ops import iterative
+    from rpagp.ops import grid_solve, iterative
 
     n = int(os.environ.get("RPAGP_BENCH_N", 1_800_000))
     D = 11
@@ -68,22 +71,28 @@ def main():
 
     probes = int(os.environ.get("RPAGP_BENCH_PROBES", 8))
     grid = int(os.environ.get("RPAGP_BENCH_GRID", 256))
-    spec = _flagship_spec(grid_size=grid, cg_iters=20, probes=probes, J=20)
+    solver = os.environ.get("RPAGP_BENCH_SOLVER", "auto")
+    spec = _flagship_spec(grid_size=grid, cg_iters=20, probes=probes,
+                          J=20, solver=solver)
 
     kx, ky = jax.random.split(jax.random.key(0))
     x = jax.random.normal(kx, (n, D), jnp.float32)
     y = jnp.sin(2.0 * x[:, 0]) + 0.1 * jax.random.normal(ky, (n,), jnp.float32)
     params, buffers = exact_gp.init_model(jax.random.key(1), spec, D)
     buffers = exact_gp.prepare_buffers(spec, params, buffers, x)
+    use_grid = grid_solve.use_grid_solver(spec, n)
 
     @jax.jit
     def step(params, buffers, x, y, key):
         # buffers/x/y are ARGS, not closures: closure constants embed the
         # multi-GB SKI geometry into the compiled module (see train.make_step)
-        return jax.value_and_grad(
-            lambda p: -iterative.iterative_mll(spec, p, buffers, x, y, key)
-            / x.shape[0]
-        )(params)
+        def obj(p):
+            if use_grid:
+                return -grid_solve.grid_mll(spec, p, buffers, x, y) / x.shape[0]
+            return -iterative.iterative_mll(spec, p, buffers, x, y, key) \
+                / x.shape[0]
+
+        return jax.value_and_grad(obj)(params)
 
     key = jax.random.key(2)
     # warmup / compile (float() forces a host transfer: on the axon
@@ -91,7 +100,7 @@ def main():
     loss, grads = step(params, buffers, x, y, key)
     _ = float(loss)
 
-    refresh = spec.precond_refresh
+    refresh = spec.precond_refresh if not use_grid else 1
     # with preconditioner caching (refresh every k steps), time exactly
     # one refresh per k steps so the reported ms/step carries the true
     # amortized cost

@@ -28,6 +28,12 @@ def mll(spec: ModelSpec, params, buffers, x, y, key=None):
     n = x.shape[0]
     if n <= spec.max_cholesky_size and not spec.kernel.ski:
         return exact_gp.exact_mll(spec, params, buffers, x, y)
+    from .ops import grid_solve
+
+    if (grid_solve.use_grid_solver(spec, n)
+            and isinstance(buffers, dict) and "ski_uu" in buffers):
+        # exact grid-space Woodbury MLL: deterministic, key unused
+        return grid_solve.grid_mll(spec, params, buffers, x, y)
     from .ops.iterative import iterative_mll  # deferred: stage-3 module
 
     if key is None:
@@ -41,6 +47,13 @@ def _posterior_jit(spec, params, buffers, x_train, y_train, x_test,
     n = x_train.shape[0]
     if n <= spec.max_cholesky_size and not spec.kernel.ski:
         return exact_gp.predict(
+            spec, params, buffers, x_train, y_train, x_test,
+            observation_noise=observation_noise,
+        )
+    from .ops import grid_solve
+
+    if grid_solve.use_grid_solver(spec, n):
+        return grid_solve.grid_posterior(
             spec, params, buffers, x_train, y_train, x_test,
             observation_noise=observation_noise,
         )
@@ -77,6 +90,12 @@ def make_predictor(spec: ModelSpec, params, buffers, x_train, y_train,
 
         return _exact_mp(spec, params, buffers, x_train, y_train,
                          observation_noise=observation_noise)
+    from .ops import grid_solve
+
+    if grid_solve.use_grid_solver(spec, n):
+        return grid_solve.make_grid_predictor(
+            spec, params, buffers, x_train, y_train,
+            observation_noise=observation_noise)
     from .ops.iterative import make_predictor as _iter_mp
 
     return _iter_mp(spec, params, buffers, x_train, y_train,

@@ -59,6 +59,17 @@ class ModelSpec:
     # refresh_preconditioner; unbiased for any k, only CG convergence
     # quality drifts between refreshes)
     precond_refresh: int = 1
+    # large-n SKI solver: "auto" picks the EXACT grid-space Woodbury
+    # solver (ops/grid_solve.py — no CG/SLQ, deterministic gradients)
+    # whenever p = J*grid_size << n; "grid" forces it; "bbmm" keeps the
+    # reference-style CG+SLQ estimator path
+    solver: str = "auto"
+    # BASE relative jitter for chol(T_j + eps*k(0) I) in the grid
+    # solver (the RBF grid Toeplitz spectrum decays below f32). The
+    # solver probes a x-sqrt(10) ladder upward from this per block and
+    # uses the smallest level that factors (grid_solve._chol_ladder);
+    # bias is O(eps_chosen), measured ~3e-5 relative at flagship scale
+    grid_jitter: float = 1e-6
 
 
 def init_model(key, spec: ModelSpec, D: int, dtype=jnp.float32):
@@ -84,7 +95,7 @@ def prepare_buffers(spec: ModelSpec, params, buffers, x_train):
     wastes a (J, n) argsort + weight build per step (SURVEY.md §3.4's
     "construction" work, hoisted out of the hot loop)."""
     if spec.kernel.ski:
-        from ..ops import ski
+        from ..ops import grid_solve, ski
 
         # one jit'd call: eager dispatch of the dozens of geometry ops is
         # pathologically slow on remote-compile TPU paths
@@ -97,6 +108,14 @@ def prepare_buffers(spec: ModelSpec, params, buffers, x_train):
             build(params["kernel"], buffers["kernel"], x_train)
         )
         buffers = {**buffers, "ski_state": state}
+        if grid_solve.use_grid_solver(spec, x_train.shape[0]):
+            # the exact grid solver's U^T U Gram — hyperparameter-free,
+            # one blocked pass over the data; replaces the per-step
+            # preconditioner entirely (no CG left to precondition)
+            S4 = jax.block_until_ready(
+                jax.jit(grid_solve.build_interp_gram)(state))
+            buffers = {**buffers, "ski_uu": S4}
+            return buffers
     if spec.precond_refresh > 1 and spec.precond_rank > 0:
         buffers = refresh_preconditioner(spec, params, buffers, x_train)
     return buffers

@@ -62,7 +62,12 @@ def run_split(exp: ExperimentSpec, split, seed: int = 0,
     params, buffers = exact_gp.init_model(jax.random.key(seed), spec, x.shape[1])
     buffers = exact_gp.prepare_buffers(spec, params, buffers, x)
     n = x.shape[0]
-    iterative = n > spec.max_cholesky_size or spec.kernel.ski
+    from .ops import grid_solve
+
+    # the exact grid-space solver is DETERMINISTIC (no probes): plain
+    # patience logic, no probe keys, no preconditioner refresh
+    grid = grid_solve.use_grid_solver(spec, n)
+    iterative = (n > spec.max_cholesky_size or spec.kernel.ski) and not grid
     if iterative:
         # stochastic MLL: resample probe vectors every step (reference
         # behavior); train loop smooths patience with an EMA

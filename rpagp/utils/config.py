@@ -103,6 +103,8 @@ def experiment_spec_from_dict(d: dict, name: str = "experiment") -> ExperimentSp
         mvm_block_rows=int(inf.get("mvm_block_rows", 4096)),
         love_rank=int(inf.get("love_rank", 0)),
         precond_refresh=int(inf.get("precond_refresh", 1)),
+        solver=str(inf.get("solver", "auto")),
+        grid_jitter=float(inf.get("grid_jitter", 1e-6)),
     )
     tr = d.get("training", {})
     train = TrainConfig(
