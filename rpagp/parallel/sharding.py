@@ -438,12 +438,16 @@ def make_distributed_train_step(spec: ModelSpec, mesh: Mesh, optimizer,
     """One jit'd SPMD Adam step on row-sharded (x, y).
 
     Returns step(params, buffers, opt_state, x_sharded, y_sharded, key[,
-    ski_state]) -> (params, opt_state, loss). Everything under one jit;
-    the shard_map wraps the loss so collectives (ring ppermute / grid
-    psum / dot psums) ride ICI inside the compiled program. For SKI specs
-    pass ski_state=prepare_distributed_ski(...) so the (per-dataset,
-    hyperparameter-free) interpolation geometry is built once, not once
-    per step.
+    ski_state[, grid_gram]]) -> (params, opt_state, loss). Everything
+    under one jit; the shard_map wraps the loss so collectives (ring
+    ppermute / grid psum / dot psums) ride ICI inside the compiled
+    program. For SKI specs pass ski_state=prepare_distributed_ski(...)
+    so the (per-dataset, hyperparameter-free) interpolation geometry is
+    built once, not once per step. When the spec dispatches to the
+    exact grid-space solver, pass BOTH outputs of
+    prepare_distributed_grid(...) as (ski_state, grid_gram) — the step
+    then runs distributed_grid_mll (deterministic, key unused) instead
+    of the BBMM estimator.
     """
     import optax
 
@@ -451,6 +455,10 @@ def make_distributed_train_step(spec: ModelSpec, mesh: Mesh, optimizer,
     comp_axis = COMP_AXIS if COMP_AXIS in mesh.axis_names else None
 
     use_pre = spec.precond_rank > 0 and not spec.kernel.ski
+
+    def grid_loss_fn(params, x_local, y_local, state_local, S4):
+        return -distributed_grid_mll(
+            spec, params, x_local, y_local, state_local, S4) / n_global
 
     def loss_fn(params, buffers, x_local, y_local, eps_local,
                 Lp, Cs, ld, eps_s, ski_state_local):
@@ -486,7 +494,35 @@ def make_distributed_train_step(spec: ModelSpec, mesh: Mesh, optimizer,
 
     @jax.jit
     def step(params, buffers, opt_state, x_sharded, y_sharded, key,
-             ski_state=None):
+             ski_state=None, grid_gram=None):
+        if grid_gram is not None:
+            # exact grid-space solver path: ski_state here is the
+            # comp-REPLICATED geometry from prepare_distributed_grid
+            def vg(p, xs, ys, sst, S4):
+                loss, g = jax.value_and_grad(grid_loss_fn)(p, xs, ys,
+                                                           sst, S4)
+                # pmean, NOT psum: the mesh-sum of per-device grads is
+                # ndev x the true gradient (distributed_grid_mll
+                # docstring) — pmean makes distributed gradients match
+                # the single-chip grid_mll EXACTLY, so lr/hyperparams
+                # transfer between scales
+                g = jax.lax.pmean(g, AXIS)
+                if comp_axis is not None:
+                    g = jax.lax.pmean(g, comp_axis)
+                return loss, g
+
+            smapped = jax.shard_map(
+                vg, mesh=mesh,
+                in_specs=(P(), P(AXIS), P(AXIS),
+                          _ski_state_in_specs(None), P()),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )
+            loss, grads = smapped(params, x_sharded, y_sharded,
+                                  ski_state, grid_gram)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
         # shard_map is constructed at trace time so the in_specs adapt to
         # whether a hoisted SKI geometry (prepare_distributed_ski) rides
         # along; a None state falls back to the in-step build
@@ -528,6 +564,98 @@ def make_distributed_train_step(spec: ModelSpec, mesh: Mesh, optimizer,
         return params, opt_state, loss
 
     return step
+
+
+# ---------------------------------------------------------------------------
+# Distributed exact grid-space solver (the SPMD mirror of ops.grid_solve)
+# ---------------------------------------------------------------------------
+
+
+def prepare_distributed_grid(spec: ModelSpec, params, buffers, x_sharded,
+                             mesh: Mesh):
+    """(ski_state, S4) for the distributed grid solver: full-J SKI
+    geometry sharded over the DATA axis only, plus the replicated
+    (J, m, J, m) interp Gram S = sum_shards U_i^T U_i (one psum per
+    DATASET — (p, p) ICI traffic, paid once, like the single-chip
+    buffers["ski_uu"]).
+
+    Unlike prepare_distributed_ski, tfrac is NOT comp-sharded: the grid
+    solver's p x p Cholesky couples ALL J components, so the comp axis
+    cannot shard the factor. On a 2-D mesh the comp dimension simply
+    replicates the grid computation; the step's psum-over-data +
+    pmean-over-comp gradient assembly already accounts for that.
+
+    Returns (None, None) when the spec doesn't run the grid solver."""
+    from ..ops import grid_solve
+
+    kspec = spec.kernel
+    n_global = x_sharded.shape[0]
+    if (kspec.interp != "dense"
+            or not grid_solve.use_grid_solver(spec, n_global)):
+        return None, None
+    out_sh = ski.SKIState(
+        grid_lo=NamedSharding(mesh, P()), h=NamedSharding(mesh, P()),
+        cells=NamedSharding(mesh, P()),
+        tfrac=NamedSharding(mesh, P(None, AXIS)),
+        i0=None, w4=None, order=None, w4_sorted=None, bounds=None,
+    )
+
+    @functools.partial(jax.jit, out_shardings=out_sh)
+    def _build(kp, kb, x):
+        return ski.build_ski(kspec, kp, kb, x, kspec.grid_size)
+
+    state = jax.block_until_ready(
+        _build(params["kernel"], buffers["kernel"], x_sharded))
+
+    gram = jax.jit(jax.shard_map(
+        lambda st: jax.lax.psum(grid_solve.build_interp_gram(st), AXIS),
+        mesh=mesh, in_specs=(_ski_state_in_specs(None),), out_specs=P(),
+        check_vma=False,
+    ))
+    S4 = jax.block_until_ready(gram(state))
+    return state, S4
+
+
+def distributed_grid_mll(spec: ModelSpec, params, x_local, y_local,
+                         state_local: ski.SKIState, S4, axis: str = AXIS):
+    """EXACT grid-space Woodbury MLL on row-sharded data — the SPMD
+    mirror of ops.grid_solve.grid_mll. Runs INSIDE shard_map.
+
+    Deterministic: no probes, no CG, no preconditioner; gradients are
+    plain autodiff straight through the shard_map. Collectives per step:
+    ONE (J, m) psum for U^T yc and one scalar psum for the loss shares —
+    the p-space factor (batched Toeplitz chol, p x p chol) runs
+    replicated on every device.
+
+    Gradient-assembly contract: under check_vma=False the psum
+    transpose re-psums replicated cotangents, which makes the MESH SUM
+    of per-device parameter gradients exactly ndev x the true gradient
+    (measured term-by-term, /tmp-era multiplicity study — uniform 8.000
+    on an 8-device mesh for row terms, psum-crossing terms, and
+    replicated p-space terms alike). The caller must therefore combine
+    with pmean over the data axis (NOT psum), and pmean again over comp
+    when the mesh is 2-D."""
+    from ..ops import grid_solve
+
+    ndev = jax.lax.axis_size(axis)
+    n = x_local.shape[0] * ndev
+    noise = exact_gp.noise_value(params)
+    p = state_local.tfrac.shape[0] * state_local.m
+    yc = y_local - params.get("mean_const", jnp.zeros((), y_local.dtype))
+
+    G, Lc = grid_solve._factor(spec, params["kernel"], state_local, S4,
+                               noise)
+    U = ski.dense_interp_transpose(state_local, yc[:, None])[:, 0, :]
+    U = jax.lax.psum(U, axis)  # (J, m) — grid-sized ICI traffic
+    b = grid_solve._Gt_apply(G, U)
+    w = jax.scipy.linalg.cho_solve((Lc, True), b)
+    Gw = grid_solve._G_apply(G, w)
+    Vw = ski.dense_interp_apply_sum(state_local, Gw[:, None, :])[:, 0]
+    r = yc - Vw  # local rows of yc - V C^-1 V^T yc
+    iq = jax.lax.psum(jnp.vdot(yc, r), axis) / noise
+    ld = (n - p) * jnp.log(noise) + 2.0 * jnp.sum(
+        jnp.log(jnp.diagonal(Lc)))
+    return -0.5 * (iq + ld + n * LOG_2PI)
 
 
 # ---------------------------------------------------------------------------

@@ -168,19 +168,26 @@ def _run_split_distributed(exp: ExperimentSpec, x, y, xt, yt, seed: int,
     ys = sharding.shard_rows(y, mesh)
     params = sharding.replicate(params, mesh)
     buffers = sharding.replicate(buffers, mesh)
-    # SKI geometry is hyperparameter-free: build once per dataset, sharded
-    ski_state = sharding.prepare_distributed_ski(spec, params, buffers, xs, mesh)
+    # exact grid-space solver when the spec dispatches to it (comp-
+    # replicated geometry + replicated U^T U Gram), else the BBMM path
+    ski_state, grid_gram = sharding.prepare_distributed_grid(
+        spec, params, buffers, xs, mesh)
+    if grid_gram is None:
+        # SKI geometry is hyperparameter-free: build once per dataset
+        ski_state = sharding.prepare_distributed_ski(spec, params, buffers,
+                                                     xs, mesh)
     opt_state = opt.init(params)
 
     key = jax.random.key(seed + 1)
     t0 = time.perf_counter()
     best, best_params, bad, losses = float("inf"), params, 0, []
     ema = None
+    deterministic = grid_gram is not None
     for i in range(exp.train.max_iters):
         key, k = jax.random.split(key)
         params_prev = params if i == 0 else None
         params, opt_state, loss = step(params, buffers, opt_state, xs, ys, k,
-                                       ski_state)
+                                       ski_state, grid_gram)
         if params_prev is not None:
             from .train import _warn_if_frozen
 
@@ -189,10 +196,19 @@ def _run_split_distributed(exp: ExperimentSpec, x, y, xt, yt, seed: int,
         losses.append(loss)
         if not jnp.isfinite(loss):
             break
-        # probes resample every step, so the loss is stochastic — run the
-        # patience logic on an EMA, not the raw estimate
-        ema = loss if ema is None else 0.8 * ema + 0.2 * loss
-        if ema < best - exp.train.rel_tol * max(1.0, abs(best)):
+        # BBMM: probes resample every step, so the loss is stochastic —
+        # run the patience logic on an EMA; the grid solver is exact and
+        # deterministic, so plain patience on the raw loss
+        if deterministic:
+            ema = loss
+        else:
+            ema = loss if ema is None else 0.8 * ema + 0.2 * loss
+        # the best == inf guard matters: inf - rel_tol*inf is nan and
+        # `x < nan` is always False, which would mark EVERY step "bad"
+        # and stop at exactly `patience` iters with the INIT params as
+        # best (train.py:167 has the same guard)
+        if best == float("inf") or \
+                ema < best - exp.train.rel_tol * max(1.0, abs(best)):
             best, best_params, bad = ema, params, 0
         else:
             bad += 1

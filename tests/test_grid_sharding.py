@@ -1,0 +1,138 @@
+"""Distributed exact grid-space solver vs the single-chip oracle.
+
+The SPMD grid MLL (parallel/sharding.distributed_grid_mll) must match
+ops.grid_solve.grid_mll exactly — same grid geometry, same factor, the
+only differences are WHERE sums happen (psum over the data axis). Value
+AND gradient parity on the virtual 8-CPU mesh, 1-D and 2-D (data x
+comp) — the 2-D case exercises the replicated-comp gradient contract
+(psum over data + pmean over comp counts each term exactly once)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from rpagp.models import exact_gp
+from rpagp.models.exact_gp import ModelSpec
+from rpagp.ops import grid_solve
+from rpagp.ops.kernels import KernelSpec
+from rpagp.parallel import sharding
+
+
+def _setup(n=512, D=4, J=4, m=32, seed=0):
+    kspec = KernelSpec.polynomial(J=J, d=1, base="rbf",
+                                  proj_dist="gaussian", ski=True,
+                                  grid_size=m)
+    spec = ModelSpec(kernel=kspec, max_cholesky_size=64)
+    kx, ky = jax.random.split(jax.random.key(seed))
+    x = jax.random.normal(kx, (n, D), jnp.float32)
+    y = jnp.sin(2.0 * x[:, 0]) + 0.3 * jax.random.normal(
+        ky, (n,), jnp.float32)
+    params, buffers = exact_gp.init_model(jax.random.key(seed + 1), spec, D)
+    assert grid_solve.use_grid_solver(spec, n)
+    return spec, params, buffers, x, y
+
+
+def _single_chip(spec, params, buffers, x, y):
+    buffers = exact_gp.prepare_buffers(spec, params, buffers, x)
+    v, g = jax.value_and_grad(
+        lambda p: grid_solve.grid_mll(spec, p, buffers, x, y))(params)
+    return float(v), g
+
+
+def _distributed(spec, params, buffers, x, y, mesh):
+    xs = sharding.shard_rows(x, mesh)
+    ys = sharding.shard_rows(y, mesh)
+    params_r = sharding.replicate(params, mesh)
+    buffers_r = sharding.replicate(buffers, mesh)
+    state, S4 = sharding.prepare_distributed_grid(
+        spec, params_r, buffers_r, xs, mesh)
+    assert state is not None and S4 is not None
+    comp_axis = (sharding.COMP_AXIS
+                 if sharding.COMP_AXIS in mesh.axis_names else None)
+
+    def vg(p, xl, yl, sst, S):
+        loss, g = jax.value_and_grad(
+            lambda pp: sharding.distributed_grid_mll(
+                spec, pp, xl, yl, sst, S))(p)
+        # pmean: see distributed_grid_mll's gradient-assembly contract
+        g = jax.lax.pmean(g, sharding.AXIS)
+        if comp_axis is not None:
+            g = jax.lax.pmean(g, comp_axis)
+        return loss, g
+
+    from jax.sharding import PartitionSpec as P
+
+    smapped = jax.jit(jax.shard_map(
+        vg, mesh=mesh,
+        in_specs=(P(), P(sharding.AXIS), P(sharding.AXIS),
+                  sharding._ski_state_in_specs(None), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    ))
+    loss, g = smapped(params_r, xs, ys, state, S4)
+    return float(loss), g, (state, S4)
+
+
+def _grad_relerr(ga, gb):
+    la, lb = jax.tree.leaves(ga), jax.tree.leaves(gb)
+    num = sum(float(jnp.sum((a - b) ** 2)) for a, b in zip(la, lb))
+    den = sum(float(jnp.sum(b**2)) for b in lb)
+    return (num / max(den, 1e-30)) ** 0.5
+
+
+def test_distributed_grid_mll_matches_single_chip_1d():
+    spec, params, buffers, x, y = _setup()
+    v1, g1 = _single_chip(spec, params, buffers, x, y)
+    mesh = sharding.make_mesh(jax.devices("cpu"))
+    v8, g8, _ = _distributed(spec, params, buffers, x, y, mesh)
+    assert abs(v8 - v1) / abs(v1) < 1e-5
+    assert _grad_relerr(g8, g1) < 1e-4
+
+
+def test_distributed_grid_mll_matches_single_chip_2d_mesh():
+    """data x comp mesh: comp replicates the grid computation; the
+    psum+pmean assembly must not double count."""
+    spec, params, buffers, x, y = _setup()
+    v1, g1 = _single_chip(spec, params, buffers, x, y)
+    mesh = sharding.make_mesh(jax.devices("cpu"), comp=2)
+    v, g, _ = _distributed(spec, params, buffers, x, y, mesh)
+    assert abs(v - v1) / abs(v1) < 1e-5
+    assert _grad_relerr(g, g1) < 1e-4
+
+
+def test_distributed_grid_train_step_runs_and_descends():
+    """make_distributed_train_step with (ski_state, grid_gram): a few
+    deterministic Adam steps must strictly decrease the exact loss."""
+    spec, params, buffers, x, y = _setup(n=512)
+    mesh = sharding.make_mesh(jax.devices("cpu"))
+    xs = sharding.shard_rows(x, mesh)
+    ys = sharding.shard_rows(y, mesh)
+    params = sharding.replicate(params, mesh)
+    buffers = sharding.replicate(buffers, mesh)
+    state, S4 = sharding.prepare_distributed_grid(
+        spec, params, buffers, xs, mesh)
+    opt = optax.adam(0.1)
+    step = sharding.make_distributed_train_step(spec, mesh, opt,
+                                                n_global=x.shape[0])
+    opt_state = opt.init(params)
+    losses = []
+    for i in range(5):
+        params, opt_state, loss = step(params, buffers, opt_state, xs, ys,
+                                       jax.random.key(i), state, S4)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
+def test_prepare_distributed_grid_gram_matches_single_chip():
+    spec, params, buffers, x, y = _setup()
+    mesh = sharding.make_mesh(jax.devices("cpu"))
+    xs = sharding.shard_rows(x, mesh)
+    params_r = sharding.replicate(params, mesh)
+    buffers_r = sharding.replicate(buffers, mesh)
+    state, S4 = sharding.prepare_distributed_grid(
+        spec, params_r, buffers_r, xs, mesh)
+    b1 = exact_gp.prepare_buffers(spec, params, buffers, x)
+    np.testing.assert_allclose(np.asarray(S4), np.asarray(b1["ski_uu"]),
+                               atol=1e-3, rtol=1e-5)

@@ -163,6 +163,42 @@ def test_runner_distributed_comp_shards_end_to_end():
         assert float(rows[0]["rmse"]) < 1.1
 
 
+def test_runner_distributed_trains_past_patience():
+    """Regression: the distributed loop's best-loss tracking. best starts
+    at inf, and `loss < inf - rel_tol*inf` is `loss < nan` == False — so
+    without the best==inf guard EVERY iteration counts as "bad", training
+    stops at exactly `patience` iters, and the INIT params are returned
+    as best. With a steadily-descending deterministic (grid-solver) loss
+    the run must go well past patience."""
+    import jax
+
+    try:
+        n_cpu = len(jax.devices("cpu"))
+    except RuntimeError:
+        n_cpu = 0
+    if n_cpu < 2:
+        pytest.skip("needs a multi-device mesh")
+    with tempfile.TemporaryDirectory() as d:
+        spec = _write_spec(d, {
+            "name": "it_dist_grid",
+            # J*m = 128 << n: dispatches to the exact grid solver, whose
+            # loss descends monotonically for >>patience steps here
+            "kernel": {"type": "projection", "J": 4, "d": 1,
+                       "ski": True, "grid_size": 32},
+            "training": {"lr": 0.1, "max_iters": 40, "patience": 10},
+            "inference": {"max_cholesky_size": 16},
+        })
+        out = os.path.join(d, "r.csv")
+        runner.main([
+            "--model_spec", spec, "--datasets", "energy",
+            "--splits", "5", "--max_splits", "1", "--output", out,
+            "--distributed",
+        ])
+        rows = list(csv.DictReader(open(out)))
+        assert len(rows) == 1
+        assert int(rows[0]["iterations"]) > 10  # NOT stopped at patience
+
+
 def test_runner_rejects_unknown_dataset():
     with tempfile.TemporaryDirectory() as d:
         spec = _write_spec(d, {"kernel": {"type": "rbf"}})
