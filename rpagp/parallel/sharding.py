@@ -658,6 +658,94 @@ def distributed_grid_mll(spec: ModelSpec, params, x_local, y_local,
     return -0.5 * (iq + ld + n * LOG_2PI)
 
 
+def distributed_grid_posterior(spec: ModelSpec, params, buffers, x_local,
+                               y_local, x_test, axis: str = AXIS,
+                               observation_noise: bool = True,
+                               chunk: int = 8192):
+    """EXACT SPMD posterior on the grid path — the sharded mirror of
+    ops.grid_solve.grid_posterior. Runs INSIDE shard_map with x/y
+    row-sharded and x_test replicated.
+
+    All train-set dependence enters through three psums, each paid ONCE
+    per call and all grid-sized (n-independent ICI traffic): the (p, p)
+    interp Gram S = sum_i U_i^T U_i, U^T yc, and U^T r. Grid bounds are
+    the pmin/pmax union of train+test projections (extrapolation stance
+    of grid_posterior). Everything downstream — the p-space factor, the
+    mean-cache weights q, and the per-test-chunk explained variance —
+    is replicated p-sized math, so test points need NO collectives."""
+    from ..ops import grid_solve
+
+    kspec, kp, kb = spec.kernel, params["kernel"], buffers["kernel"]
+    noise = exact_gp.noise_value(params)
+    z_tr = ski.project(kspec, kp, kb, x_local)
+    z_te = ski.project(kspec, kp, kb, x_test)
+    lo = jnp.minimum(jnp.min(z_tr, axis=1), jnp.min(z_te, axis=1))
+    hi = jnp.maximum(jnp.max(z_tr, axis=1), jnp.max(z_te, axis=1))
+    lo = jax.lax.pmin(lo, axis)
+    hi = jax.lax.pmax(hi, axis)
+
+    st_train = ski.build_ski(kspec, kp, kb, x_local, kspec.grid_size,
+                             z_bounds=(lo, hi))
+    S4 = jax.lax.psum(grid_solve.build_interp_gram(st_train), axis)
+    yc = y_local - exact_gp.mean_fn(spec, params, x_local)
+    G, Lc = grid_solve._factor(spec, kp, st_train, S4, noise)
+
+    U = jax.lax.psum(
+        ski.dense_interp_transpose(st_train, yc[:, None])[:, 0, :], axis)
+    b = grid_solve._Gt_apply(G, U)
+    w = jax.scipy.linalg.cho_solve((Lc, True), b)
+    Gw = grid_solve._G_apply(G, w)
+    Vw = ski.dense_interp_apply_sum(st_train, Gw[:, None, :])[:, 0]
+    r = yc - Vw  # local rows of A^-1 yc * noise
+    Ur = jax.lax.psum(
+        ski.dense_interp_transpose(st_train, r[:, None])[:, 0, :], axis)
+    q = grid_solve._G_apply(G, grid_solve._Gt_apply(G, Ur)) / noise
+
+    st_test = ski.build_ski(kspec, kp, kb, x_test, kspec.grid_size,
+                            z_bounds=(lo, hi))
+    n_test = x_test.shape[0]
+    mu = ski.dense_interp_apply_sum(st_test, q[:, None, :])[:, 0]
+    mu = mu + exact_gp.mean_fn(spec, params, x_test)
+
+    kd = kernels.gram_diag(kspec, kp, kb, x_test)
+    nc = -(-n_test // chunk)
+    outs = []
+    for ci in range(nc):
+        sl = slice(ci * chunk, min((ci + 1) * chunk, n_test))
+        Uc = grid_solve._test_interp_rows(st_test, sl)
+        outs.append(grid_solve._explained_chunk((G, Lc), noise, Uc))
+    explained = jnp.concatenate(outs) if nc > 1 else outs[0]
+    var = jnp.maximum(kd - explained, 1e-10)
+    if observation_noise:
+        var = var + noise
+    return mu, var
+
+
+def _make_distributed_grid_posterior(spec: ModelSpec, mesh: Mesh,
+                                     observation_noise: bool = True,
+                                     chunk: int = 8192):
+    """make_distributed_posterior's grid-path variant: same predict
+    signature (key accepted, unused — the grid posterior is exact and
+    deterministic)."""
+
+    def local_fn(params, buffers, x_local, y_local, x_test):
+        return distributed_grid_posterior(
+            spec, params, buffers, x_local, y_local, x_test,
+            observation_noise=observation_noise, chunk=chunk)
+
+    @jax.jit
+    def predict(params, buffers, x_sharded, y_sharded, x_test, key=None):
+        smapped = jax.shard_map(
+            local_fn, mesh=mesh,
+            in_specs=(P(), P(), P(AXIS), P(AXIS), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return smapped(params, buffers, x_sharded, y_sharded, x_test)
+
+    return predict
+
+
 # ---------------------------------------------------------------------------
 # Distributed posterior: sharded mean solve + sharded LOVE cache + replicated
 # cross-MVMs — prediction never falls back to one device
@@ -847,7 +935,18 @@ def make_distributed_posterior(spec: ModelSpec, mesh: Mesh, n_global: int,
     """One jit'd SPMD posterior: (params, buffers, x_sharded, y_sharded,
     x_test, key) -> (mu, var) at the test points, computed WITHOUT
     gathering the training set onto one device. Companion to
-    make_distributed_train_step — call it on the trained params."""
+    make_distributed_train_step — call it on the trained params.
+
+    Specs that dispatch to the exact grid-space solver get the exact
+    sharded grid posterior (distributed_grid_posterior) — consistent
+    with training and with the single-chip grid_posterior — instead of
+    the CG/LOVE approximations."""
+    from ..ops import grid_solve
+
+    if (spec.kernel.interp == "dense"
+            and grid_solve.use_grid_solver(spec, n_global)):
+        return _make_distributed_grid_posterior(
+            spec, mesh, observation_noise=observation_noise)
     comp_axis = COMP_AXIS if COMP_AXIS in mesh.axis_names else None
     use_pre = spec.precond_rank > 0 and not spec.kernel.ski
     rank = max(spec.love_rank, 1)

@@ -125,6 +125,35 @@ def test_distributed_grid_train_step_runs_and_descends():
     assert losses[-1] < losses[0]
 
 
+def test_distributed_grid_posterior_matches_single_chip():
+    """make_distributed_posterior dispatches grid specs to the exact
+    sharded grid posterior; mean/var must match ops.grid_solve's
+    single-chip grid_posterior (same union-bounds grid, same factor —
+    only the psum locations differ). Includes extrapolating test points
+    (x scaled 1.5x beyond the train range)."""
+    spec, params, buffers, x, y = _setup()
+    kt = jax.random.key(7)
+    xt = 1.5 * jax.random.normal(kt, (64, x.shape[1]), jnp.float32)
+
+    b1 = exact_gp.prepare_buffers(spec, params, buffers, x)
+    mu1, var1 = grid_solve.grid_posterior(spec, params, b1, x, y, xt)
+
+    mesh = sharding.make_mesh(jax.devices("cpu"))
+    xs = sharding.shard_rows(x, mesh)
+    ys = sharding.shard_rows(y, mesh)
+    params_r = sharding.replicate(params, mesh)
+    buffers_r = sharding.replicate(buffers, mesh)
+    predict = sharding.make_distributed_posterior(spec, mesh,
+                                                  n_global=x.shape[0])
+    mu8, var8 = predict(params_r, buffers_r, xs, ys, xt, jax.random.key(9))
+
+    np.testing.assert_allclose(np.asarray(mu8), np.asarray(mu1),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(var8), np.asarray(var1),
+                               atol=1e-4, rtol=1e-4)
+    assert np.all(np.asarray(var8) > 0)
+
+
 def test_prepare_distributed_grid_gram_matches_single_chip():
     spec, params, buffers, x, y = _setup()
     mesh = sharding.make_mesh(jax.devices("cpu"))
