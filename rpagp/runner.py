@@ -178,42 +178,31 @@ def _run_split_distributed(exp: ExperimentSpec, x, y, xt, yt, seed: int,
                                                      xs, mesh)
     opt_state = opt.init(params)
 
+    from .train import ConvergenceTracker, _warn_if_frozen
+
     key = jax.random.key(seed + 1)
     t0 = time.perf_counter()
-    best, best_params, bad, losses = float("inf"), params, 0, []
-    ema = None
-    deterministic = grid_gram is not None
+    losses = []
+    # BBMM: probes resample every step, so the loss is stochastic and
+    # the tracker smooths with an EMA; the grid solver is deterministic
+    tracker = ConvergenceTracker(patience=exp.train.patience,
+                                 rel_tol=exp.train.rel_tol,
+                                 stochastic=grid_gram is None,
+                                 best_params=params)
     for i in range(exp.train.max_iters):
         key, k = jax.random.split(key)
         params_prev = params if i == 0 else None
         params, opt_state, loss = step(params, buffers, opt_state, xs, ys, k,
                                        ski_state, grid_gram)
         if params_prev is not None:
-            from .train import _warn_if_frozen
-
             _warn_if_frozen(params_prev, params)
         loss = float(loss)
         losses.append(loss)
         if not jnp.isfinite(loss):
             break
-        # BBMM: probes resample every step, so the loss is stochastic —
-        # run the patience logic on an EMA; the grid solver is exact and
-        # deterministic, so plain patience on the raw loss
-        if deterministic:
-            ema = loss
-        else:
-            ema = loss if ema is None else 0.8 * ema + 0.2 * loss
-        # the best == inf guard matters: inf - rel_tol*inf is nan and
-        # `x < nan` is always False, which would mark EVERY step "bad"
-        # and stop at exactly `patience` iters with the INIT params as
-        # best (train.py:167 has the same guard)
-        if best == float("inf") or \
-                ema < best - exp.train.rel_tol * max(1.0, abs(best)):
-            best, best_params, bad = ema, params, 0
-        else:
-            bad += 1
-            if bad >= exp.train.patience:
-                break
+        if tracker.update(loss, params):
+            break
+    best_params = tracker.best_params
     train_time = time.perf_counter() - t0
 
     # prediction stays on the mesh: sharded mean solve + sharded LOVE

@@ -70,6 +70,46 @@ def make_step(loss_fn: Callable, optimizer, with_key: bool = False) -> Callable:
     return step
 
 
+@dataclasses.dataclass
+class ConvergenceTracker:
+    """Best-loss patience stopping, shared by every train loop (the
+    single-device loops here and the runner's distributed loop — the
+    logic was previously duplicated and the copies drifted: one lost the
+    best==inf guard, silently stopping at exactly `patience` iters with
+    the init params as best).
+
+    stochastic=True smooths the raw loss with an EMA before the patience
+    comparison (BBMM probe resampling makes the loss noisy); the
+    deterministic solvers (Cholesky, grid) compare the raw loss."""
+
+    patience: int
+    rel_tol: float
+    stochastic: bool = False
+    ema_decay: float = 0.8
+    best: float = float("inf")
+    best_params: object = None  # init params until the first update
+    bad: int = 0
+    _ema: float | None = None
+
+    def update(self, loss: float, params) -> bool:
+        """Record one step's loss; keeps the best (EMA-)loss params.
+        Returns True when patience is exhausted (stop training)."""
+        crit = loss
+        if self.stochastic:
+            self._ema = (loss if self._ema is None
+                         else self.ema_decay * self._ema
+                         + (1.0 - self.ema_decay) * loss)
+            crit = self._ema
+        # best == inf guard: inf - rel_tol*inf is nan and `x < nan` is
+        # always False — without it every step counts as "bad"
+        if self.best == float("inf") or \
+                crit < self.best - self.rel_tol * max(1.0, abs(self.best)):
+            self.best, self.best_params, self.bad = crit, params, 0
+            return False
+        self.bad += 1
+        return self.bad >= self.patience
+
+
 def _warn_if_frozen(params_prev, params):
     """Zero-gradient stall detection (failure-detection subsystem).
 
@@ -134,11 +174,9 @@ def train_to_convergence(
     stochastic = key is not None
     step = make_step(loss_fn, optimizer, with_key=stochastic)
 
-    best = float("inf")
-    best_params = params
-    bad = 0
+    tracker = ConvergenceTracker(patience=patience, rel_tol=rel_tol,
+                                 stochastic=stochastic, best_params=params)
     losses = []
-    ema = None
     t0 = time.perf_counter()
     converged = False
     i = 0
@@ -160,19 +198,11 @@ def train_to_convergence(
         if not jnp.isfinite(loss):
             # diverged — return the best params seen
             break
-        crit = loss
-        if stochastic:
-            ema = loss if ema is None else 0.8 * ema + 0.2 * loss
-            crit = ema
-        if best == float("inf") or crit < best - rel_tol * max(1.0, abs(best)):
-            best, best_params, bad = crit, params, 0
-        else:
-            bad += 1
-            if bad >= patience:
-                converged = True
-                break
+        if tracker.update(loss, params):
+            converged = True
+            break
     return TrainResult(
-        params=best_params,
+        params=tracker.best_params,
         losses=losses,
         iterations=i + 1,
         converged=converged,
@@ -235,21 +265,24 @@ def train_with_checkpointing(
             if _os.path.exists(losses_path):
                 losses = list(_np.load(losses_path)[:start])
     params, opt_state, key = state["params"], state["opt_state"], state["key"]
-    best_params = state["best_params"]
-    best = float(state["best"])
-    bad = int(state["bad"])
-    ema = None if not _np.isfinite(float(state["ema"])) else float(state["ema"])
+    tracker = ConvergenceTracker(
+        patience=patience, rel_tol=rel_tol, stochastic=stochastic,
+        best_params=state["best_params"], best=float(state["best"]),
+        bad=int(state["bad"]),
+        _ema=(None if not _np.isfinite(float(state["ema"]))
+              else float(state["ema"])))
 
-    def _save(i, params, best_params, opt_state, key):
+    def _save(i, params, opt_state, key):
         path = cp.maybe_save(i, {
             "params": params,
-            "best_params": best_params,
+            "best_params": tracker.best_params,
             "opt_state": opt_state,
             "key": key if stochastic else jax.random.key(0),
             "step": _jnp.asarray(i),
-            "best": _jnp.asarray(best),
-            "bad": _jnp.asarray(bad),
-            "ema": _jnp.asarray(_jnp.nan if ema is None else ema),
+            "best": _jnp.asarray(tracker.best),
+            "bad": _jnp.asarray(tracker.bad),
+            "ema": _jnp.asarray(_jnp.nan if tracker._ema is None
+                                else tracker._ema),
         })
         if path is not None:
             _os.makedirs(checkpoint_dir, exist_ok=True)
@@ -270,21 +303,12 @@ def train_with_checkpointing(
         losses.append(loss)
         if not jnp.isfinite(loss):
             break
-        crit = loss
-        if stochastic:
-            ema = loss if ema is None else 0.8 * ema + 0.2 * loss
-            crit = ema
-        if best == float("inf") or crit < best - rel_tol * max(1.0, abs(best)):
-            best, best_params, bad = crit, params, 0
-        else:
-            bad += 1
-            if bad >= patience:
-                converged = True
-        _save(i + 1, params, best_params, opt_state, key)
+        converged = tracker.update(loss, params)
+        _save(i + 1, params, opt_state, key)
         if converged:
             break
     return TrainResult(
-        params=best_params,
+        params=tracker.best_params,
         losses=losses,
         iterations=i + 1 - start,
         converged=converged,
