@@ -58,9 +58,14 @@ from ..ops.kernels import _component_scales
 
 _HI = jax.lax.Precision.HIGHEST
 
-# absolute cap on p = J*m for the grid solver: p^3 factor work and the
-# (p, p) buffers stop paying off past this regardless of n
-_P_MAX = 16384
+# absolute cap on p = J*m for auto-dispatch: the p-space factor work
+# (p x p Cholesky + its VJP + the G^T S G einsums) stops paying off past
+# this. Measured on one v5e core: at p = 5120 the whole step is ~90 ms
+# of p-work + ~12 ms/M-rows of interp; at p = 10240 (protein spec at
+# m=512) the step ballooned to ~8.5 s/iter vs BBMM's 1.5 s/iter on the
+# same spec — the crossover sits between. solver="grid" still forces
+# past the cap.
+_P_MAX = 6144
 
 
 def use_grid_solver(spec: ModelSpec, n: int) -> bool:
@@ -245,17 +250,18 @@ def _posterior_factor(spec: ModelSpec, params, buffers, x_train, y_train,
     S4 = build_interp_gram(st_train)
     G, Lc = _factor(spec, params["kernel"], st_train, S4, noise)
 
+    # mean weights in grid space, DIRECT form: mu* = V* C^-1 V^T yc,
+    # i.e. q = G C^-1 b. This is algebraically identical to routing
+    # through the n-space residual (G^T U^T (yc - V C^-1 V^T yc) =
+    # noise C^-1 b, so the 1/noise cancels exactly) but numerically far
+    # stabler: the residual route amplifies the f32 yc - Vw cancellation
+    # by 1/noise, and a ~1e-4 factor perturbation (e.g. eager-vs-jit
+    # fusion differences) swung the protein posterior mean from
+    # rmse 0.35 to 2.8. The MLL keeps the residual form for the
+    # inv-quad VALUE, where the per-element cancellation argument holds.
     U = ski.dense_interp_transpose(st_train, yc[:, None])[:, 0, :]
     b = _Gt_apply(G, U)
-    w = jax.scipy.linalg.cho_solve((Lc, True), b)
-    Gw = _G_apply(G, w)
-    Vw = ski.dense_interp_apply_sum(st_train, Gw[:, None, :])[:, 0]
-    r = yc - Vw  # A^-1 yc = r / noise
-
-    # mean weights in grid space: mu* = V* V^T (A^-1 yc)
-    #                                 = W* [G G^T U^T r / noise]
-    Ur = ski.dense_interp_transpose(st_train, r[:, None])[:, 0, :]
-    q = _G_apply(G, _Gt_apply(G, Ur)) / noise  # (J, m)
+    q = _G_apply(G, jax.scipy.linalg.cho_solve((Lc, True), b))  # (J, m)
     return st_train, q, (G, Lc), noise
 
 
