@@ -170,9 +170,52 @@ def _chol_ladder(T, eps0):
     return L, chosen
 
 
+# C-chol fallback jitter, in units of NOISE (lambda_min(C) = noise
+# exactly in real arithmetic; f32 rounding in the G^T S G einsums can
+# push the computed C indefinite when |Sg|/noise ~ 1/sqrt(eps_f32) —
+# measured at HouseElectric scale, |Sg| ~ 6e3 vs noise 0.22, where the
+# un-jittered p x p chol went NaN at training iter 15). Level 0 is
+# exact; escalation biases the solver by O(level) relative noise
+# inflation in the grid column space — bounded best-effort, same stance
+# as best-iterate CG (docs/BENCHMARKS.md r2f).
+_C_LEVELS = (0.0, 1e-3, 3e-3, 1e-2, 3e-2, 1e-1, 3e-1)
+
+
+def _chol_with_fallback(C, noise):
+    """Minimal-jitter chol(C + c*noise I), c from _C_LEVELS.
+
+    Same stop-gradient probe pattern as _chol_ladder: the level choice
+    is a discrete algorithmic decision (lax.while_loop, one chol
+    lowering), the returned chol is differentiable and finite by
+    construction."""
+    p = C.shape[-1]
+    eye = jnp.eye(p, dtype=C.dtype)
+    Cs = jax.lax.stop_gradient(C)
+    ns = jax.lax.stop_gradient(noise)
+    levels = jnp.asarray(_C_LEVELS, C.dtype)
+    nlev = len(_C_LEVELS)
+
+    def cond(c):
+        k, chosen, done = c
+        return (k < nlev) & ~done
+
+    def body(c):
+        k, chosen, done = c
+        e = ns * levels[k]
+        L = jnp.linalg.cholesky(Cs + e * eye)
+        ok = jnp.all(jnp.isfinite(L))
+        chosen = jnp.where(ok & ~done, e, chosen)
+        return k + 1, chosen, done | ok
+
+    init = (jnp.asarray(0), ns * levels[-1], jnp.asarray(False))
+    _, chosen, _ = jax.lax.while_loop(cond, body, init)
+    return jnp.linalg.cholesky(C + chosen * eye)
+
+
 def _factor(spec: ModelSpec, kparams, state: ski.SKIState, S4, noise):
     """(G, Lc): G (J, m, m) = sqrt(scale_j) chol(T_j + eps I); Lc = the
-    p x p Cholesky of C = noise I + G^T S G."""
+    p x p Cholesky of C = noise I + G^T S G (+ minimal fallback jitter,
+    see _chol_with_fallback)."""
     J, m = state.tfrac.shape[0], state.m
     p = J * m
     T = _toeplitz_blocks(spec.kernel, kparams, state)
@@ -185,8 +228,9 @@ def _factor(spec: ModelSpec, kparams, state: ski.SKIState, S4, noise):
     # Sg = G^T S G as two J-batched block products (blockdiag structure)
     SG = jnp.einsum("imjn,jnb->imjb", S4, G, precision=_HI)
     Sg = jnp.einsum("ima,imjb->iajb", G, SG, precision=_HI).reshape(p, p)
+    Sg = 0.5 * (Sg + Sg.T)  # rounding hygiene: kill the asymmetric error
     C = Sg + noise * jnp.eye(p, dtype=Sg.dtype)
-    Lc = jnp.linalg.cholesky(C)
+    Lc = _chol_with_fallback(C, noise)
     return G, Lc
 
 

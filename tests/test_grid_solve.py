@@ -264,6 +264,34 @@ def test_chol_ladder_handles_flagship_grid_conditioning():
     assert float(jnp.max(eps / T[:, 0, 0])) <= 1e-3  # bias stays small
 
 
+def test_chol_with_fallback_handles_rounding_indefiniteness():
+    """The p x p C = noise I + G^T S G is PSD in real arithmetic but f32
+    rounding in the einsums can push it indefinite at scale (measured at
+    HouseElectric n=1.8M: the un-jittered chol went NaN at training
+    iter 15). The fallback ladder must (a) add NO jitter to a healthy
+    matrix, (b) recover a finite, accurate factor from a
+    rounding-indefinite one with minimal noise inflation."""
+    key = jax.random.key(0)
+    p, noise = 256, 0.2
+    A = jax.random.normal(key, (p, 32), jnp.float32)
+    C = A @ A.T + noise * jnp.eye(p)
+
+    # (a) healthy: identical to the plain chol (level 0 chosen)
+    L0 = grid_solve._chol_with_fallback(C, jnp.asarray(noise))
+    np.testing.assert_array_equal(np.asarray(L0),
+                                  np.asarray(jnp.linalg.cholesky(C)))
+
+    # (b) rounding-indefinite: subtract slightly more than noise so the
+    # smallest eigenvalue is ~ -0.1 * noise (plain chol -> NaN)
+    Cbad = C - 1.1 * noise * jnp.eye(p)
+    assert not bool(jnp.all(jnp.isfinite(jnp.linalg.cholesky(Cbad))))
+    Lf = grid_solve._chol_with_fallback(Cbad, jnp.asarray(noise))
+    assert bool(jnp.all(jnp.isfinite(Lf)))
+    # the factor reproduces Cbad up to the (bounded) chosen jitter
+    err = jnp.max(jnp.abs(Lf @ Lf.T - Cbad))
+    assert float(err) <= grid_solve._C_LEVELS[-1] * noise + 1e-4
+
+
 def test_interp_gram_matches_dense():
     spec, params, buffers, x, y = _setup(n=350, J=3, m=24)
     state = buffers["ski_state"]
