@@ -95,12 +95,14 @@ def prepare_buffers(spec: ModelSpec, params, buffers, x_train):
     wastes a (J, n) argsort + weight build per step (SURVEY.md §3.4's
     "construction" work, hoisted out of the hot loop)."""
     if spec.kernel.ski:
-        from ..ops import grid_solve, ski
+        from ..ops import grid_solve
 
         # one jit'd call: eager dispatch of the dozens of geometry ops is
-        # pathologically slow on remote-compile TPU paths
+        # pathologically slow on remote-compile TPU paths. Product
+        # (degree*sub_dim > 1) specs build per-FACTOR geometry and lower
+        # to the grid solver (ops/ski_product.py) — beyond-reference.
         build = jax.jit(
-            lambda kp, kb, xt: ski.build_ski(
+            lambda kp, kb, xt: grid_solve._build_geometry(
                 spec.kernel, kp, kb, xt, spec.kernel.grid_size
             )
         )
@@ -112,8 +114,9 @@ def prepare_buffers(spec: ModelSpec, params, buffers, x_train):
             # the exact grid solver's U^T U Gram — hyperparameter-free,
             # one blocked pass over the data; replaces the per-step
             # preconditioner entirely (no CG left to precondition)
-            S4 = jax.block_until_ready(
-                jax.jit(grid_solve.build_interp_gram)(state))
+            S4 = jax.block_until_ready(jax.jit(
+                lambda st: grid_solve._build_gram(spec.kernel, st)
+            )(state))
             buffers = {**buffers, "ski_uu": S4}
             return buffers
     if spec.precond_refresh > 1 and spec.precond_rank > 0:

@@ -52,7 +52,9 @@ import jax.numpy as jnp
 
 from ..models import exact_gp
 from ..models.exact_gp import ModelSpec
-from ..ops import kernels, ski
+from ..ops import kernels, ski, ski_product
+from ..ops.block_chol import (blocked_cholesky, blocked_cholesky_safe,
+                              blocked_solve_triangular)
 from ..ops.exact import LOG_2PI
 from ..ops.kernels import _component_scales
 
@@ -72,15 +74,54 @@ def use_grid_solver(spec: ModelSpec, n: int) -> bool:
     """Trace-time policy: does this spec/size run the exact grid solver?
 
     "grid" forces it; "auto" uses it for SKI specs whenever the grid
-    rank p = J*m is well below n (the Woodbury regime); "bbmm" keeps
-    the reference-style CG+SLQ path.
-    """
-    if not spec.kernel.ski or spec.solver == "bbmm":
+    rank p = J*m (J*m^F for product components) is well below n (the
+    Woodbury regime); "bbmm" keeps the reference-style CG+SLQ path.
+    Product (degree*sub_dim > 1) SKI specs ALWAYS use the grid solver:
+    the BBMM path has no product wiring (the reference rejects the
+    combination outright — SKI there is degree-1 only)."""
+    if not spec.kernel.ski:
+        return False
+    if ski_product.is_product(spec.kernel):
+        if spec.solver == "bbmm":
+            raise ValueError(
+                "solver='bbmm' does not support product (degree*sub_dim"
+                " > 1) SKI kernels; use solver='grid'/'auto'")
+        return True
+    if spec.solver == "bbmm":
         return False
     p = spec.kernel.J * spec.kernel.grid_size
     if spec.solver == "grid":
         return True
     return p <= min(n // 2, _P_MAX)
+
+
+def _interp_T(kspec, state, V):
+    """Grid-space interp transpose dispatch: (n, t) -> (J, t, M)."""
+    if ski_product.is_product(kspec):
+        return ski_product.interp_transpose(kspec, state, V)
+    return ski.dense_interp_transpose(state, V)
+
+
+def _interp_A(kspec, state, G):
+    """Grid-space interp apply dispatch: (J, t, M) -> (n, t)."""
+    if ski_product.is_product(kspec):
+        return ski_product.interp_apply_sum(kspec, state, G)
+    return ski.dense_interp_apply_sum(state, G)
+
+
+def _build_geometry(kspec, kp, kb, x, grid_size, z_bounds=None):
+    """build_ski / build_ski_factors dispatch (dense plan)."""
+    if ski_product.is_product(kspec):
+        return ski.build_ski_factors(kspec, kp, kb, x, grid_size,
+                                     z_bounds=z_bounds)
+    return ski.build_ski(kspec, kp, kb, x, grid_size, z_bounds=z_bounds)
+
+
+def _build_gram(kspec, state):
+    """interp-Gram dispatch: S = U^T U, (J, M, J, M)."""
+    if ski_product.is_product(kspec):
+        return ski_product.build_interp_gram(kspec, state)
+    return build_interp_gram(state)
 
 
 def build_interp_gram(state: ski.SKIState, block: int = 8192):
@@ -137,7 +178,12 @@ def _chol_ladder(T, eps0):
     level to use is a DISCRETE algorithmic choice (no gradient), and the
     final differentiable chol is finite by construction (same values,
     same algorithm as the probe level that passed). This avoids the
-    0 * NaN cotangent poisoning a where() over failed chols would cause.
+    0 * NaN cotangent poisoning a where() over failed chols would cause
+    — and equally rules out a "factor first, cond on failure" fast
+    path: a differentiable chol computed OUTSIDE the cond has a NaN
+    primal when escalation engages, and even the zero cotangent of the
+    untaken branch turns into NaN gradients through it (measured:
+    tests/test_grid_solve.py flagship-conditioning test).
     The probe is a lax.while_loop (ONE chol lowering, early exit at the
     first level where every block factors) — a python ladder compiled
     6 separate chols and near-tripled the flagship compile time.
@@ -182,12 +228,30 @@ _C_LEVELS = (0.0, 1e-3, 3e-3, 1e-2, 3e-2, 1e-1, 3e-1)
 
 
 def _chol_with_fallback(C, noise):
-    """Minimal-jitter chol(C + c*noise I), c from _C_LEVELS.
+    """Minimal-jitter chol(C + c*noise I), c from _C_LEVELS."""
+    return _chol_with_fallback_eps(C, noise)[0]
 
-    Same stop-gradient probe pattern as _chol_ladder: the level choice
-    is a discrete algorithmic decision (lax.while_loop, one chol
-    lowering), the returned chol is differentiable and finite by
-    construction."""
+
+def _chol_with_fallback_eps(C, noise):
+    """Minimal-jitter chol(C + c*noise I), c from _C_LEVELS; returns
+    (L, eps_chosen) — eps_chosen/noise is the engaged ladder level
+    (0.0 = exact), surfaced by `factor_diagnostics`.
+
+    FAST PATH: factor C directly (level 0 = exact) with the MXU-blocked
+    Cholesky (ops/block_chol.py — XLA's native p x p chol + its
+    trsm-pair VJP were ~85% of the flagship step, BENCHMARKS.md r2h).
+    The fast factor uses blocked_cholesky_SAFE: its primals stay finite
+    even when C is indefinite (failure comes back as the ok flag), so
+    the zero cotangent it receives when `lax.cond` picks the escalation
+    branch stays zero instead of 0 * NaN-poisoning the gradient. In the
+    common case — every step until extreme hyperparameter drift — the
+    step pays exactly ONE p x p factorization.
+
+    Escalation keeps the stop-gradient probe pattern of _chol_ladder
+    (the level choice is a discrete algorithmic decision; one lowering
+    via lax.while_loop), and probes with the SAME blocked algorithm
+    that produces the final factor, so "probe passed" implies the final
+    differentiable factor is finite (clean VJP)."""
     p = C.shape[-1]
     eye = jnp.eye(p, dtype=C.dtype)
     Cs = jax.lax.stop_gradient(C)
@@ -195,43 +259,101 @@ def _chol_with_fallback(C, noise):
     levels = jnp.asarray(_C_LEVELS, C.dtype)
     nlev = len(_C_LEVELS)
 
-    def cond(c):
-        k, chosen, done = c
-        return (k < nlev) & ~done
+    L0, ok0 = blocked_cholesky_safe(C)
 
-    def body(c):
-        k, chosen, done = c
-        e = ns * levels[k]
-        L = jnp.linalg.cholesky(Cs + e * eye)
-        ok = jnp.all(jnp.isfinite(L))
-        chosen = jnp.where(ok & ~done, e, chosen)
-        return k + 1, chosen, done | ok
+    def ladder(_):
+        def cond(c):
+            k, chosen, done = c
+            return (k < nlev) & ~done
 
-    init = (jnp.asarray(0), ns * levels[-1], jnp.asarray(False))
-    _, chosen, _ = jax.lax.while_loop(cond, body, init)
-    return jnp.linalg.cholesky(C + chosen * eye)
+        def body(c):
+            k, chosen, done = c
+            e = ns * levels[k]
+            L = blocked_cholesky(Cs + e * eye)
+            ok = jnp.all(jnp.isfinite(L))
+            chosen = jnp.where(ok & ~done, e, chosen)
+            return k + 1, chosen, done | ok
+
+        # level 0 is exactly the fast path that just failed
+        init = (jnp.asarray(1), ns * levels[-1], jnp.asarray(False))
+        _, chosen, _ = jax.lax.while_loop(cond, body, init)
+        return blocked_cholesky(C + chosen * eye), chosen
+
+    zero = jnp.zeros((), C.dtype)
+    return jax.lax.cond(ok0, lambda _: (L0, zero), ladder, None)
 
 
 def _factor(spec: ModelSpec, kparams, state: ski.SKIState, S4, noise):
     """(G, Lc): G (J, m, m) = sqrt(scale_j) chol(T_j + eps I); Lc = the
     p x p Cholesky of C = noise I + G^T S G (+ minimal fallback jitter,
     see _chol_with_fallback)."""
-    J, m = state.tfrac.shape[0], state.m
-    p = J * m
-    T = _toeplitz_blocks(spec.kernel, kparams, state)
-    # relative jitter: T's diagonal is k(0) per block, and the minimal
-    # safe absolute jitter scales with it
-    eps0 = spec.grid_jitter * T[:, 0, 0]
-    Lt, _ = _chol_ladder(T, eps0)
-    scales = _component_scales(spec.kernel, kparams, T.dtype)  # (J,)
-    G = jnp.sqrt(scales)[:, None, None] * Lt  # (J, m, m), lower-tri
+    G, Lc, _ = _factor_diag(spec, kparams, state, S4, noise)
+    return G, Lc
+
+
+def _grid_chol_G(spec: ModelSpec, kparams, state: ski.SKIState):
+    """(G, t_jitter_mult): G (J, M, M) = sqrt(scale_j) chol(T_j + eps).
+
+    Degree-1: T_j is the (m, m) grid Toeplitz, jitter-laddered batched
+    chol. Product components: T_j = Kron of the F factor Toeplitzes, so
+    chol(Kron) = Kron(chol) — the ladder runs on the SMALL (m, m)
+    factors and one einsum assembles the (m^F, m^F) product factor
+    (ops/ski_product.py)."""
+    kspec = spec.kernel
+    if ski_product.is_product(kspec):
+        Tf = ski_product.toeplitz_blocks_factors(kspec, kparams, state)
+        eps0 = spec.grid_jitter * Tf[:, 0, 0]
+        Lf, eps_t = _chol_ladder(Tf, eps0)  # (Jf, m, m)
+        F = ski_product.factors_per_component(kspec)
+        m = state.m
+        Lt = ski_product.kron_fold(Lf.reshape(kspec.J, F, m, m))
+    else:
+        T = _toeplitz_blocks(kspec, kparams, state)
+        # relative jitter: T's diagonal is k(0) per block, and the
+        # minimal safe absolute jitter scales with it
+        eps0 = spec.grid_jitter * T[:, 0, 0]
+        Lt, eps_t = _chol_ladder(T, eps0)
+    scales = _component_scales(kspec, kparams, Lt.dtype)  # (J,)
+    G = jnp.sqrt(scales)[:, None, None] * Lt  # (J, M, M), lower-tri
+    return G, eps_t / jnp.maximum(eps0, 1e-30)
+
+
+def _factor_diag(spec: ModelSpec, kparams, state: ski.SKIState, S4, noise):
+    """_factor plus the fallback-engagement diagnostics: which jitters
+    the two ladders actually chose (dead-code-eliminated when the
+    caller drops them)."""
+    G, t_mult = _grid_chol_G(spec, kparams, state)
+    p = G.shape[0] * G.shape[1]
     # Sg = G^T S G as two J-batched block products (blockdiag structure)
     SG = jnp.einsum("imjn,jnb->imjb", S4, G, precision=_HI)
     Sg = jnp.einsum("ima,imjb->iajb", G, SG, precision=_HI).reshape(p, p)
     Sg = 0.5 * (Sg + Sg.T)  # rounding hygiene: kill the asymmetric error
     C = Sg + noise * jnp.eye(p, dtype=Sg.dtype)
-    Lc = _chol_with_fallback(C, noise)
-    return G, Lc
+    Lc, eps_c = _chol_with_fallback_eps(C, noise)
+    diag = {
+        # T-ladder multiplier per block (1.0 = base grid_jitter)
+        "t_jitter_mult": t_mult,
+        # engaged _C_LEVELS level in units of noise (0.0 = exact)
+        "c_jitter_over_noise": eps_c / jnp.maximum(noise, 1e-30),
+    }
+    return G, Lc, diag
+
+
+def factor_diagnostics(spec: ModelSpec, params, buffers):
+    """Fallback-engagement telemetry at the CURRENT hyperparameters:
+    maximal T-ladder multiplier across blocks and the engaged C-chol
+    level (units of noise). Escalation is invisible during training
+    (the ladders are silent by design — discrete stop-gradient
+    choices); the runner surfaces this once per split so long runs
+    record whether the solver ever left the exact level."""
+    state = buffers["ski_state"]
+    S4 = buffers["ski_uu"]
+    noise = exact_gp.noise_value(params)
+    _, _, diag = _factor_diag(spec, params["kernel"], state, S4, noise)
+    return {
+        "t_jitter_mult_max": float(jnp.max(diag["t_jitter_mult"])),
+        "c_jitter_over_noise": float(diag["c_jitter_over_noise"]),
+    }
 
 
 def _G_apply(G, z):
@@ -254,18 +376,18 @@ def grid_mll(spec: ModelSpec, params, buffers, x, y):
     n = x.shape[0]
     state = buffers["ski_state"]
     S4 = buffers["ski_uu"]
-    J, m = state.tfrac.shape[0], state.m
-    p = J * m
+    J, M = S4.shape[0], S4.shape[1]  # M = m (degree-1) or m^F (product)
+    p = J * M
     noise = exact_gp.noise_value(params)
     yc = y - exact_gp.mean_fn(spec, params, x)
 
     G, Lc = _factor(spec, params["kernel"], state, S4, noise)
     # b = V^T yc = G^T U^T yc
-    U = ski.dense_interp_transpose(state, yc[:, None])[:, 0, :]  # (J, m)
+    U = _interp_T(spec.kernel, state, yc[:, None])[:, 0, :]  # (J, M)
     b = _Gt_apply(G, U)  # (p,)
     w = jax.scipy.linalg.cho_solve((Lc, True), b)
-    Gw = _G_apply(G, w)  # (J, m)
-    Vw = ski.dense_interp_apply_sum(state, Gw[:, None, :])[:, 0]  # (n,)
+    Gw = _G_apply(G, w)  # (J, M)
+    Vw = _interp_A(spec.kernel, state, Gw[:, None, :])[:, 0]  # (n,)
     r = yc - Vw
     iq = jnp.vdot(yc, r) / noise
     ld = (n - p) * jnp.log(noise) + 2.0 * jnp.sum(
@@ -288,10 +410,10 @@ def _posterior_factor(spec: ModelSpec, params, buffers, x_train, y_train,
     per chunk, and skips the p^3 R build entirely."""
     noise = exact_gp.noise_value(params)
     yc = y_train - exact_gp.mean_fn(spec, params, x_train)
-    st_train = ski.build_ski(spec.kernel, params["kernel"],
-                             buffers["kernel"], x_train,
-                             spec.kernel.grid_size, z_bounds=z_bounds)
-    S4 = build_interp_gram(st_train)
+    st_train = _build_geometry(spec.kernel, params["kernel"],
+                               buffers["kernel"], x_train,
+                               spec.kernel.grid_size, z_bounds=z_bounds)
+    S4 = _build_gram(spec.kernel, st_train)
     G, Lc = _factor(spec, params["kernel"], st_train, S4, noise)
 
     # mean weights in grid space, DIRECT form: mu* = V* C^-1 V^T yc,
@@ -303,9 +425,9 @@ def _posterior_factor(spec: ModelSpec, params, buffers, x_train, y_train,
     # fusion differences) swung the protein posterior mean from
     # rmse 0.35 to 2.8. The MLL keeps the residual form for the
     # inv-quad VALUE, where the per-element cancellation argument holds.
-    U = ski.dense_interp_transpose(st_train, yc[:, None])[:, 0, :]
+    U = _interp_T(spec.kernel, st_train, yc[:, None])[:, 0, :]
     b = _Gt_apply(G, U)
-    q = _G_apply(G, jax.scipy.linalg.cho_solve((Lc, True), b))  # (J, m)
+    q = _G_apply(G, jax.scipy.linalg.cho_solve((Lc, True), b))  # (J, M)
     return st_train, q, (G, Lc), noise
 
 
@@ -319,12 +441,15 @@ def _explained_chunk(factor, noise, Uc):
     Ub = Uc.reshape(c, J, m)
     t = jnp.einsum("jab,cja->cjb", G, Ub, precision=_HI)
     tp = t.reshape(c, J * m)
-    s = jax.scipy.linalg.solve_triangular(Lc, tp.T, lower=True)  # (p, c)
+    # wide-RHS solve as GEMMs: XLA's trsm ran this chunk at ~1 Tf/s
+    s = blocked_solve_triangular(Lc, tp.T)  # (p, c)
     return jnp.sum(tp * tp, axis=1) - noise * jnp.sum(s * s, axis=0)
 
 
-def _test_interp_rows(state_test: ski.SKIState, chunk_slice):
+def _test_interp_rows(state_test: ski.SKIState, chunk_slice, kspec=None):
     """Dense W* rows for a contiguous test chunk: (c, p)."""
+    if kspec is not None and ski_product.is_product(kspec):
+        return ski_product.test_interp_rows(kspec, state_test, chunk_slice)
     tf = state_test.tfrac[:, chunk_slice]  # (J, c)
     W = ski._cubic_kernel(tf[:, :, None] - state_test.cells)  # (J, c, m)
     J, c, m = W.shape
@@ -351,11 +476,11 @@ def grid_posterior(spec: ModelSpec, params, buffers, x_train, y_train,
     hi = jnp.maximum(jnp.max(z_tr, axis=1), jnp.max(z_te, axis=1))
     st_train, q, factor, noise = _posterior_factor(
         spec, params, buffers, x_train, y_train, (lo, hi))
-    st_test = ski.build_ski(kspec, kp, kb, x_test, kspec.grid_size,
-                            z_bounds=(lo, hi))
+    st_test = _build_geometry(kspec, kp, kb, x_test, kspec.grid_size,
+                              z_bounds=(lo, hi))
 
     n_test = x_test.shape[0]
-    mu = ski.dense_interp_apply_sum(st_test, q[:, None, :])[:, 0]
+    mu = _interp_A(kspec, st_test, q[:, None, :])[:, 0]
     mu = mu + exact_gp.mean_fn(spec, params, x_test)
 
     kd = kernels.gram_diag(kspec, kp, kb, x_test)
@@ -363,7 +488,7 @@ def grid_posterior(spec: ModelSpec, params, buffers, x_train, y_train,
     outs = []
     for ci in range(nc):
         sl = slice(ci * chunk, min((ci + 1) * chunk, n_test))
-        Uc = _test_interp_rows(st_test, sl)  # (c, p)
+        Uc = _test_interp_rows(st_test, sl, kspec)  # (c, p)
         outs.append(_explained_chunk(factor, noise, Uc))
     explained = jnp.concatenate(outs) if nc > 1 else outs[0]
     var = jnp.maximum(kd - explained, 1e-10)
@@ -390,17 +515,17 @@ def make_grid_predictor(spec: ModelSpec, params, buffers, x_train,
         spec, params, buffers, x_train, y_train, bounds)
 
     def predict(x_test, chunk: int = 8192):
-        st_test = ski.build_ski(kspec, kp, kb, x_test, kspec.grid_size,
-                                z_bounds=bounds)
+        st_test = _build_geometry(kspec, kp, kb, x_test, kspec.grid_size,
+                                  z_bounds=bounds)
         n_test = x_test.shape[0]
-        mu = ski.dense_interp_apply_sum(st_test, q[:, None, :])[:, 0]
+        mu = _interp_A(kspec, st_test, q[:, None, :])[:, 0]
         mu = mu + exact_gp.mean_fn(spec, params, x_test)
         kd = kernels.gram_diag(kspec, kp, kb, x_test)
         nc = -(-n_test // chunk)
         outs = []
         for ci in range(nc):
             sl = slice(ci * chunk, min((ci + 1) * chunk, n_test))
-            Uc = _test_interp_rows(st_test, sl)
+            Uc = _test_interp_rows(st_test, sl, kspec)
             outs.append(_explained_chunk(factor, noise, Uc))
         explained = jnp.concatenate(outs) if nc > 1 else outs[0]
         var = jnp.maximum(kd - explained, 1e-10)

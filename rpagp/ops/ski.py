@@ -157,8 +157,33 @@ def build_ski(spec: KernelSpec, kparams, kbuffers, x, grid_size: int,
     plan = spec.interp if plan is None else plan
     if plan not in ("dense", "sorted"):
         raise ValueError(f"unknown SKI interp plan {plan!r}")
-    m = int(grid_size)
     z = project(spec, kparams, kbuffers, x)  # (J, n)
+    return _geometry_from_z(z, int(grid_size), z_bounds, plan)
+
+
+def build_ski_factors(spec: KernelSpec, kparams, kbuffers, x,
+                      grid_size: int, z_bounds=None):
+    """Per-FACTOR SKI geometry for product (degree*sub_dim > 1)
+    components: every 1-D projection column becomes a virtual degree-1
+    component, so the returned SKIState has Jf = sum(degrees)*sub_dim
+    rows. The product machinery (ops/ski_product.py) combines factor
+    rows into Khatri-Rao interpolation rows / Kronecker grid factors
+    per component. Dense plan only (the sorted plan's scatter-free
+    trick does not compose across factors)."""
+    if not spec.is_projection:
+        raise ValueError("build_ski_factors needs a projection kernel")
+    if spec.learn_proj:
+        raise ValueError("learn_proj=True is incompatible with ski=True: "
+                         "the SKI interpolation geometry is fixed at "
+                         "prepare time, so projection gradients are zero")
+    z = project(spec, kparams, kbuffers, x)  # (Jf, n)
+    return _geometry_from_z(z, int(grid_size), z_bounds, "dense")
+
+
+def _geometry_from_z(z, m: int, z_bounds, plan: str):
+    """Shared geometry core: z (rows, n) -> SKIState with one grid per
+    row (a row is a component for degree-1 kernels, a 1-D factor for
+    product kernels)."""
     if z_bounds is None:
         lo, hi = jnp.min(z, axis=1), jnp.max(z, axis=1)
     else:

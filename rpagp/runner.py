@@ -100,6 +100,19 @@ def run_split(exp: ExperimentSpec, split, seed: int = 0,
     )
     train_time = time.perf_counter() - t0
 
+    if grid:
+        # jitter-fallback engagement telemetry: the ladders are silent
+        # by design (discrete stop-gradient choices inside jit), so
+        # surface once per split whether this run ever needed them
+        d = grid_solve.factor_diagnostics(spec, res.params, buffers)
+        if d["t_jitter_mult_max"] > 1.0 or d["c_jitter_over_noise"] > 0.0:
+            print(
+                f"[diag] grid-factor jitter fallback engaged at best "
+                f"params: T-ladder x{d['t_jitter_mult_max']:.3g}, "
+                f"C-chol {d['c_jitter_over_noise']:.3g} * noise",
+                file=sys.stderr,
+            )
+
     mu, var = posterior_fn(spec, res.params, buffers, x, y, xt)
     rmse = float(jnp.sqrt(jnp.mean((mu - yt) ** 2)))
     nll = float(gaussian_nll(yt, mu, var))
