@@ -602,13 +602,16 @@ def prepare_distributed_grid(spec: ModelSpec, params, buffers, x_sharded,
 
     @functools.partial(jax.jit, out_shardings=out_sh)
     def _build(kp, kb, x):
-        return ski.build_ski(kspec, kp, kb, x, kspec.grid_size)
+        # dispatcher: degree-1 grids, or per-factor geometry for
+        # product (degree*sub_dim > 1) components (ops/ski_product.py)
+        return grid_solve._build_geometry(kspec, kp, kb, x,
+                                          kspec.grid_size)
 
     state = jax.block_until_ready(
         _build(params["kernel"], buffers["kernel"], x_sharded))
 
     gram = jax.jit(jax.shard_map(
-        lambda st: jax.lax.psum(grid_solve.build_interp_gram(st), AXIS),
+        lambda st: jax.lax.psum(grid_solve._build_gram(kspec, st), AXIS),
         mesh=mesh, in_specs=(_ski_state_in_specs(None),), out_specs=P(),
         check_vma=False,
     ))
@@ -640,17 +643,19 @@ def distributed_grid_mll(spec: ModelSpec, params, x_local, y_local,
     ndev = jax.lax.axis_size(axis)
     n = x_local.shape[0] * ndev
     noise = exact_gp.noise_value(params)
-    p = state_local.tfrac.shape[0] * state_local.m
+    p = S4.shape[0] * S4.shape[1]  # J * M (M = m, or m^F for product)
     yc = y_local - params.get("mean_const", jnp.zeros((), y_local.dtype))
 
     G, Lc = grid_solve._factor(spec, params["kernel"], state_local, S4,
                                noise)
-    U = ski.dense_interp_transpose(state_local, yc[:, None])[:, 0, :]
-    U = jax.lax.psum(U, axis)  # (J, m) — grid-sized ICI traffic
+    U = grid_solve._interp_T(spec.kernel, state_local,
+                             yc[:, None])[:, 0, :]
+    U = jax.lax.psum(U, axis)  # (J, M) — grid-sized ICI traffic
     b = grid_solve._Gt_apply(G, U)
     w = jax.scipy.linalg.cho_solve((Lc, True), b)
     Gw = grid_solve._G_apply(G, w)
-    Vw = ski.dense_interp_apply_sum(state_local, Gw[:, None, :])[:, 0]
+    Vw = grid_solve._interp_A(spec.kernel, state_local,
+                              Gw[:, None, :])[:, 0]
     r = yc - Vw  # local rows of yc - V C^-1 V^T yc
     iq = jax.lax.psum(jnp.vdot(yc, r), axis) / noise
     ld = (n - p) * jnp.log(noise) + 2.0 * jnp.sum(
@@ -684,9 +689,10 @@ def distributed_grid_posterior(spec: ModelSpec, params, buffers, x_local,
     lo = jax.lax.pmin(lo, axis)
     hi = jax.lax.pmax(hi, axis)
 
-    st_train = ski.build_ski(kspec, kp, kb, x_local, kspec.grid_size,
-                             z_bounds=(lo, hi))
-    S4 = jax.lax.psum(grid_solve.build_interp_gram(st_train), axis)
+    st_train = grid_solve._build_geometry(kspec, kp, kb, x_local,
+                                          kspec.grid_size,
+                                          z_bounds=(lo, hi))
+    S4 = jax.lax.psum(grid_solve._build_gram(kspec, st_train), axis)
     yc = y_local - exact_gp.mean_fn(spec, params, x_local)
     G, Lc = grid_solve._factor(spec, kp, st_train, S4, noise)
 
@@ -695,14 +701,15 @@ def distributed_grid_posterior(spec: ModelSpec, params, buffers, x_local,
     # route but without its 1/noise-amplified cancellation) — also one
     # fewer psum and two fewer n-sized interp passes
     U = jax.lax.psum(
-        ski.dense_interp_transpose(st_train, yc[:, None])[:, 0, :], axis)
+        grid_solve._interp_T(kspec, st_train, yc[:, None])[:, 0, :], axis)
     b = grid_solve._Gt_apply(G, U)
     q = grid_solve._G_apply(G, jax.scipy.linalg.cho_solve((Lc, True), b))
 
-    st_test = ski.build_ski(kspec, kp, kb, x_test, kspec.grid_size,
-                            z_bounds=(lo, hi))
+    st_test = grid_solve._build_geometry(kspec, kp, kb, x_test,
+                                         kspec.grid_size,
+                                         z_bounds=(lo, hi))
     n_test = x_test.shape[0]
-    mu = ski.dense_interp_apply_sum(st_test, q[:, None, :])[:, 0]
+    mu = grid_solve._interp_A(kspec, st_test, q[:, None, :])[:, 0]
     mu = mu + exact_gp.mean_fn(spec, params, x_test)
 
     kd = kernels.gram_diag(kspec, kp, kb, x_test)
@@ -710,7 +717,7 @@ def distributed_grid_posterior(spec: ModelSpec, params, buffers, x_local,
     outs = []
     for ci in range(nc):
         sl = slice(ci * chunk, min((ci + 1) * chunk, n_test))
-        Uc = grid_solve._test_interp_rows(st_test, sl)
+        Uc = grid_solve._test_interp_rows(st_test, sl, kspec)
         outs.append(grid_solve._explained_chunk((G, Lc), noise, Uc))
     explained = jnp.concatenate(outs) if nc > 1 else outs[0]
     var = jnp.maximum(kd - explained, 1e-10)

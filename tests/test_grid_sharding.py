@@ -19,8 +19,8 @@ from rpagp.ops.kernels import KernelSpec
 from rpagp.parallel import sharding
 
 
-def _setup(n=512, D=4, J=4, m=32, seed=0):
-    kspec = KernelSpec.polynomial(J=J, d=1, base="rbf",
+def _setup(n=512, D=4, J=4, m=32, seed=0, d=1, k=1):
+    kspec = KernelSpec.polynomial(J=J, d=d, k=k, base="rbf",
                                   proj_dist="gaussian", ski=True,
                                   grid_size=m)
     spec = ModelSpec(kernel=kspec, max_cholesky_size=64)
@@ -165,3 +165,36 @@ def test_prepare_distributed_grid_gram_matches_single_chip():
     b1 = exact_gp.prepare_buffers(spec, params, buffers, x)
     np.testing.assert_allclose(np.asarray(S4), np.asarray(b1["ski_uu"]),
                                atol=1e-3, rtol=1e-5)
+
+
+def test_distributed_grid_mll_product_matches_single_chip():
+    """Product (degree-2) SKI through the SPMD mirror: the dispatchers
+    (_build_geometry/_build_gram/_interp_T/_interp_A) must route the
+    sharded path onto ops/ski_product.py identically to single-chip."""
+    spec, params, buffers, x, y = _setup(n=512, J=3, m=12, d=2)
+    v1, g1 = _single_chip(spec, params, buffers, x, y)
+    mesh = sharding.make_mesh(jax.devices("cpu"))
+    v8, g8, _ = _distributed(spec, params, buffers, x, y, mesh)
+    assert abs(v8 - v1) / abs(v1) < 1e-5
+    assert _grad_relerr(g8, g1) < 1e-4
+
+
+def test_distributed_grid_posterior_product_matches_single_chip():
+    spec, params, buffers, x, y = _setup(n=512, J=3, m=12, d=2)
+    xt = 1.2 * jax.random.normal(jax.random.key(7), (48, x.shape[1]),
+                                 jnp.float32)
+    b1 = exact_gp.prepare_buffers(spec, params, buffers, x)
+    mu1, var1 = grid_solve.grid_posterior(spec, params, b1, x, y, xt)
+
+    mesh = sharding.make_mesh(jax.devices("cpu"))
+    xs = sharding.shard_rows(x, mesh)
+    ys = sharding.shard_rows(y, mesh)
+    params_r = sharding.replicate(params, mesh)
+    buffers_r = sharding.replicate(buffers, mesh)
+    predict = sharding.make_distributed_posterior(spec, mesh,
+                                                  n_global=x.shape[0])
+    mu8, var8 = predict(params_r, buffers_r, xs, ys, xt, jax.random.key(9))
+    np.testing.assert_allclose(np.asarray(mu8), np.asarray(mu1),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(var8), np.asarray(var1),
+                               atol=1e-4, rtol=1e-4)
