@@ -4,9 +4,11 @@ TPU-native rebuild of the reference's small/medium-N path
 ([G] gpytorch/distributions/multivariate_normal.py log_prob +
 [G] gpytorch/models/exact_prediction_strategies.py — unverified, SURVEY.md).
 GPyTorch dispatches MVN.log_prob to a dense Cholesky below
-`max_cholesky_size`; here that is `jax.lax.linalg.cholesky` (XLA's blocked
-TPU Cholesky) and `triangular_solve`, differentiated by plain `jax.grad` —
-no custom autograd Function needed on this path.
+`max_cholesky_size`; here that is the MXU-blocked Cholesky / blocked
+triangular solve (ops/block_chol.py — XLA's native chol/trsm run at
+~2 Tf/s on TPU; the blocked forms are pure GEMMs) above the block size
+and `jax.lax.linalg.cholesky` below it, differentiated by plain
+`jax.grad` — no custom autograd Function needed on this path.
 
 All functions are pure; everything jits and grads end-to-end.
 """
@@ -15,6 +17,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from .block_chol import blocked_cholesky, blocked_solve_triangular
 
 
 LOG_2PI = 1.8378770664093453
@@ -37,7 +41,7 @@ def cholesky_mll(K, y_centered, noise, jitter: float = 1e-6):
     """
     n = y_centered.shape[0]
     Khat = add_jitter(K, noise, jitter)
-    L = jax.lax.linalg.cholesky(Khat)
+    L = blocked_cholesky(Khat)
     alpha = jax.scipy.linalg.cho_solve((L, True), y_centered)
     inv_quad = y_centered @ alpha
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
@@ -48,7 +52,7 @@ def cholesky_posterior_cache(K_train, y_centered, noise, jitter: float = 1e-6):
     """Precompute (L, alpha) once per eval — the reference's mean cache
     ([G] exact_prediction_strategies.py caches K^{-1}(y - mu))."""
     Khat = add_jitter(K_train, noise, jitter)
-    L = jax.lax.linalg.cholesky(Khat)
+    L = blocked_cholesky(Khat)
     alpha = jax.scipy.linalg.cho_solve((L, True), y_centered)
     return L, alpha
 
@@ -63,10 +67,8 @@ def posterior_from_cache(K_star, k_diag_star, L, alpha, noise=None):
     noise ([G] gpytorch/likelihoods/gaussian_likelihood.py marginal()).
     """
     mean = jnp.matmul(K_star, alpha, precision=jax.lax.Precision.HIGHEST)
-    # v = L^{-1} K_star^T; var = k** - sum(v^2)
-    v = jax.lax.linalg.triangular_solve(
-        L, K_star.T, left_side=True, lower=True, transpose_a=False
-    )
+    # v = L^{-1} K_star^T; var = k** - sum(v^2) — wide-RHS solve as GEMMs
+    v = blocked_solve_triangular(L, K_star.T)
     var = k_diag_star - jnp.sum(v * v, axis=0)
     var = jnp.maximum(var, 1e-10)
     if noise is not None:
@@ -83,9 +85,7 @@ def posterior_cov_from_cache(K_star, K_star_star, L, noise=None):
     unverified, SURVEY.md §3.3). Returns the LATENT covariance;
     `noise` adds the likelihood's observation noise on the diagonal.
     """
-    v = jax.lax.linalg.triangular_solve(
-        L, K_star.T, left_side=True, lower=True
-    )
+    v = blocked_solve_triangular(L, K_star.T)
     cov = K_star_star - jnp.matmul(
         v.T, v, precision=jax.lax.Precision.HIGHEST
     )

@@ -142,11 +142,12 @@ def test_interp_gram_matches_materialized():
                                rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("d,k", [(2, 1), (1, 2)])
-def test_grid_mll_matches_dense_product_oracle(d, k):
+@pytest.mark.parametrize("d,k,m", [(2, 1, 16), (1, 2, 16), (3, 1, 8)])
+def test_grid_mll_matches_dense_product_oracle(d, k, m):
     """Value AND gradient parity with the materialized product-SKI
-    operator, for degree-2 and sub_dim-2 components."""
-    spec, params, buffers, x, y = _setup(n=400, J=3, d=d, k=k, m=16)
+    operator — degree-2, sub_dim-2, and degree-3 (F=3 exercises the
+    general Khatri-Rao/Kronecker folds)."""
+    spec, params, buffers, x, y = _setup(n=400, J=3, d=d, k=k, m=m)
     assert grid_solve.use_grid_solver(spec, x.shape[0])
     v, g = jax.value_and_grad(
         lambda p: grid_solve.grid_mll(spec, p, buffers, x, y))(params)
