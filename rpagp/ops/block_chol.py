@@ -52,6 +52,8 @@ for the TPU-first exact grid solver (ops/grid_solve.py).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -63,7 +65,60 @@ _HI = jax.lax.Precision.HIGHEST
 _BLOCK = 512
 
 
-def _elimination(A, block, sanitize):
+def _resolve_leaf(leaf: str) -> str:
+    """Diagonal-block factor implementation: "xla" (builtin chol +
+    triangular solve) or "pallas" (ops/pallas_chol.py — the whole
+    b-row elimination AND the block inverse in one kernel call, no
+    sequential XLA expansions; "interpret" is its CPU-test mode).
+
+    "auto" resolves at trace time: pallas on a real TPU backend when
+    RPAGP_PALLAS_CHOL=1 opts in (default off until the shootout in
+    scripts/bench_chol.py says otherwise), else xla.
+    RPAGP_PALLAS_CHOL=interpret forces the interpreted kernel on any
+    backend — CPU integration testing of the full solver stack."""
+    if leaf != "auto":
+        return leaf
+    env = os.environ.get("RPAGP_PALLAS_CHOL", "0")
+    if env == "interpret":
+        return "interpret"
+    if env != "1":
+        return "xla"
+    from .pallas_interp import on_tpu
+
+    return "pallas" if on_tpu() else "xla"
+
+
+def _diag_factor(blk, sanitize, leaf, need_linv):
+    """(L_kk, Linv_kk, ok) for one diagonal block.
+
+    sanitize=True guarantees FINITE primals (failure -> ok=False and
+    garbage-but-finite outputs); sanitize=False keeps the builtin
+    NaN-propagation contract. Linv_kk is None when need_linv=False on
+    the xla path (the last block step never uses it)."""
+    b = blk.shape[0]
+    eye_b = jnp.eye(b, dtype=blk.dtype)
+    if leaf in ("pallas", "interpret"):
+        from .pallas_chol import chol_linv
+
+        L, Linv, okf = chol_linv(blk, leaf == "interpret")
+        ok = okf > 0.5
+        if not sanitize:
+            # re-impose the NaN failure signal of jnp.linalg.cholesky
+            L = jnp.where(ok, L, jnp.nan)
+        return L, Linv, ok
+    ok = jnp.asarray(True)
+    if sanitize:
+        Ldet = jnp.linalg.cholesky(jax.lax.stop_gradient(blk))
+        ok = jnp.all(jnp.isfinite(Ldet))
+        blk = jnp.where(ok, blk, eye_b)
+    L = jnp.linalg.cholesky(blk)
+    Linv = None
+    if need_linv:
+        Linv = jax.scipy.linalg.solve_triangular(L, eye_b, lower=True)
+    return L, Linv, ok
+
+
+def _elimination(A, block, sanitize, leaf="xla"):
     """Shared blocked-elimination loop over a block-multiple-sized A.
 
     sanitize=False: NaN-propagating (an indefinite diagonal block NaNs
@@ -79,22 +134,16 @@ def _elimination(A, block, sanitize):
     fast path differentiate L only when ok without 0*NaN poisoning
     (the cotangent of the not-taken branch is zero, and zero times a
     FINITE primal is zero)."""
-    eye_b = jnp.eye(block, dtype=A.dtype)
     nb = A.shape[0] // block
     cols = []
     T = A
     ok = jnp.asarray(True)
     for k in range(nb):
         blk = T[:block, :block]
-        if sanitize:
-            Ldet = jnp.linalg.cholesky(jax.lax.stop_gradient(blk))
-            okk = jnp.all(jnp.isfinite(Ldet))
-            ok = ok & okk
-            blk = jnp.where(okk, blk, eye_b)
-        Lkk = jnp.linalg.cholesky(blk)
+        Lkk, Linv, okk = _diag_factor(blk, sanitize, leaf,
+                                      need_linv=k < nb - 1)
+        ok = ok & okk
         if k < nb - 1:
-            Linv = jax.scipy.linalg.solve_triangular(Lkk, eye_b,
-                                                     lower=True)
             P = jnp.matmul(T[block:, :block], Linv.T, precision=_HI,
                            preferred_element_type=A.dtype)
             colk = jnp.concatenate([Lkk, P], axis=0)
@@ -121,7 +170,7 @@ def _pad_to_blocks(A, block):
     ])
 
 
-def blocked_cholesky(A, block: int = _BLOCK):
+def blocked_cholesky(A, block: int = _BLOCK, leaf: str = "auto"):
     """Lower Cholesky factor of symmetric PD A ((p, p), f32) via
     MXU-friendly blocked elimination. Matches `jnp.linalg.cholesky`
     to f32 roundoff; NaN-propagates on indefinite input (the jitter
@@ -131,13 +180,15 @@ def blocked_cholesky(A, block: int = _BLOCK):
 
     A must be SYMMETRIC (both triangles valid): the trailing update
     reads the full square. Callers in grid_solve symmetrize first.
+    leaf: diagonal-block implementation, see _resolve_leaf.
     """
     p = A.shape[-1]
     if A.ndim != 2:
         raise ValueError("blocked_cholesky expects a single (p, p) matrix")
     if p <= block:
         return jnp.linalg.cholesky(A)
-    L, _ = _elimination(_pad_to_blocks(A, block), block, sanitize=False)
+    L, _ = _elimination(_pad_to_blocks(A, block), block, sanitize=False,
+                        leaf=_resolve_leaf(leaf))
     return L[:p, :p]
 
 
@@ -186,7 +237,7 @@ def blocked_solve_triangular(L, B, block: int = _BLOCK):
     return X[:p] if pp != p else X
 
 
-def blocked_cholesky_safe(A, block: int = _BLOCK):
+def blocked_cholesky_safe(A, block: int = _BLOCK, leaf: str = "auto"):
     """(L, ok): like blocked_cholesky, but with FINITE primals always.
 
     ok=True  -> L is the exact factor (identical to blocked_cholesky).
@@ -206,5 +257,6 @@ def blocked_cholesky_safe(A, block: int = _BLOCK):
         ok = jnp.all(jnp.isfinite(Ldet))
         A_safe = jnp.where(ok, A, jnp.eye(p, dtype=A.dtype))
         return jnp.linalg.cholesky(A_safe), ok
-    L, ok = _elimination(_pad_to_blocks(A, block), block, sanitize=True)
+    L, ok = _elimination(_pad_to_blocks(A, block), block, sanitize=True,
+                         leaf=_resolve_leaf(leaf))
     return L[:p, :p], ok

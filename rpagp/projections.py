@@ -18,7 +18,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-DISTRIBUTIONS = ("gaussian", "sphere", "rademacher", "bernoulli", "uniform")
+DISTRIBUTIONS = ("gaussian", "sphere", "rademacher", "bernoulli", "uniform",
+                 "axes")
 
 
 def gen_rp(key, D: int, M: int, dist: str = "gaussian", dtype=jnp.float32):
@@ -32,6 +33,11 @@ def gen_rp(key, D: int, M: int, dist: str = "gaussian", dtype=jnp.float32):
       sphere     — columns uniform on the unit sphere S^{D-1}.
       rademacher — +-1 / sqrt(D) (a.k.a. bernoulli in the reference).
       uniform    — U(-sqrt(3/D), sqrt(3/D)) (unit expected column norm).
+      axes       — DETERMINISTIC standard basis vectors e_{j mod D}: the
+                   classic axis-aligned additive GP (the paper's additive
+                   baseline, arXiv:1912.12834 §5) as a projection choice;
+                   with M = D every input dimension gets its own 1-D
+                   component. key is unused.
     """
     if dist not in DISTRIBUTIONS:
         raise ValueError(f"unknown projection distribution {dist!r}; one of {DISTRIBUTIONS}")
@@ -40,6 +46,8 @@ def gen_rp(key, D: int, M: int, dist: str = "gaussian", dtype=jnp.float32):
     if dist == "sphere":
         g = jax.random.normal(key, (D, M), dtype)
         return g / jnp.linalg.norm(g, axis=0, keepdims=True)
+    if dist == "axes":
+        return jnp.eye(D, dtype=dtype)[:, jnp.arange(M) % D]
     if dist in ("rademacher", "bernoulli"):
         r = jax.random.rademacher(key, (D, M), dtype=jnp.int32).astype(dtype)
         return r / jnp.sqrt(jnp.asarray(D, dtype))

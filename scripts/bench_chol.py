@@ -54,12 +54,20 @@ def main():
     ms, cs = timeit(grad_of(jnp.linalg.cholesky), A, iters=iters)
     print(f"builtin        grad p={p}: {ms:8.2f} ms   (compile {cs:.1f}s)")
 
-    for b in (256, 512, 1024):
-        fn = lambda A, b=b: blocked_cholesky(A, block=b)
-        ms, cs = timeit(fn, A, iters=iters)
-        print(f"blocked b={b:4d} fwd  p={p}: {ms:8.2f} ms   (compile {cs:.1f}s)")
-        ms, cs = timeit(grad_of(fn), A, iters=iters)
-        print(f"blocked b={b:4d} grad p={p}: {ms:8.2f} ms   (compile {cs:.1f}s)")
+    for leaf in ("xla", "pallas"):
+        for b in (128, 256, 512, 1024):
+            if leaf == "xla" and b == 128:
+                continue  # 40 sequential XLA chol+trsm pairs: pointless
+            fn = lambda A, b=b, leaf=leaf: blocked_cholesky(A, block=b,
+                                                            leaf=leaf)
+            ms, cs = timeit(fn, A, iters=iters)
+            print(f"blocked b={b:4d} {leaf:7s} fwd  p={p}: {ms:8.2f} ms"
+                  f"   (compile {cs:.1f}s)")
+            ms, cs = timeit(grad_of(fn), A, iters=iters)
+            print(f"blocked b={b:4d} {leaf:7s} grad p={p}: {ms:8.2f} ms"
+                  f"   (compile {cs:.1f}s)")
+            err = float(jnp.max(jnp.abs(fn(A) - jnp.linalg.cholesky(A))))
+            print(f"          max|diff vs builtin| = {err:.3e}")
 
     noise = jnp.asarray(0.5, jnp.float32)
     ms, cs = timeit(lambda C: grid_solve._chol_with_fallback(C, noise),

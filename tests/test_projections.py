@@ -55,3 +55,14 @@ def test_space_equally_reduces_coherence():
     Q, after = space_equally(P)
     np.testing.assert_allclose(np.linalg.norm(Q, axis=0), 1.0, rtol=1e-4)
     assert float(after) < before
+
+
+def test_axes_identity_cycling():
+    """axes = deterministic standard basis vectors, cycling past M > D —
+    the classic additive-GP baseline (paper §5) as a projection dist."""
+    P = gen_rp(jax.random.key(0), 4, 6, "axes")
+    want = np.eye(4)[:, [0, 1, 2, 3, 0, 1]]
+    np.testing.assert_array_equal(np.asarray(P), want)
+    # key-independent
+    P2 = gen_rp(jax.random.key(99), 4, 6, "axes")
+    np.testing.assert_array_equal(np.asarray(P), np.asarray(P2))
