@@ -182,3 +182,40 @@ def train_svgp(spec: ModelSpec, params, buffers, x, y, key,
         if verbose and e % 10 == 0:
             print(f"  epoch {e:3d}  -elbo/n {losses[-1]:.5f}")
     return SVGPTrainResult(params=params, losses=losses)
+
+
+def train_svgp_distributed(spec: ModelSpec, params, buffers, x, y, key,
+                           mesh, batch_size: int = 1024,
+                           num_epochs: int = 50, lr: float = 0.01,
+                           verbose: bool = False):
+    """SPMD mirror of train_svgp: each minibatch's rows shard over the
+    mesh's data axis; the M-sized variational state replicates (see
+    parallel.sharding.distributed_elbo for the collective/gradient
+    contract). Same permutation stream as train_svgp for the same key,
+    so the trajectories agree to reduction-order roundoff."""
+    import optax
+
+    from ..parallel import sharding
+
+    n = x.shape[0]
+    ndev = mesh.devices.size
+    b = min(batch_size, n)
+    b -= b % ndev  # batches must divide across the data axis
+    if b <= 0:
+        raise ValueError(f"batch_size {batch_size} < mesh size {ndev}")
+    steps = max(1, n // b)
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+    params = sharding.replicate(params, mesh)
+    buffers = sharding.replicate(buffers, mesh)
+    epoch = sharding.make_distributed_svgp_epoch(
+        spec, mesh, opt, n_total=n, steps=steps, batch=b)
+
+    losses = []
+    for e in range(num_epochs):
+        key, k = jax.random.split(key)
+        params, opt_state, loss = epoch(params, buffers, opt_state, x, y, k)
+        losses.append(float(loss))
+        if verbose and e % 10 == 0:
+            print(f"  epoch {e:3d}  -elbo/n {losses[-1]:.5f}")
+    return SVGPTrainResult(params=params, losses=losses)

@@ -993,3 +993,90 @@ def make_distributed_posterior(spec: ModelSpec, mesh: Mesh, n_global: int,
                        fresh, Lfull, Cs)
 
     return predict
+
+
+# ---------------------------------------------------------------------------
+# Distributed SVGP: row-sharded minibatch ELBO + one jit'd SPMD epoch
+# ---------------------------------------------------------------------------
+
+
+def distributed_elbo(spec: ModelSpec, params, buffers, x_local, y_local,
+                     n_total: int, axis: str = AXIS):
+    """SVGP minibatch ELBO on a row-sharded batch — the SPMD mirror of
+    models.svgp.elbo. Runs INSIDE shard_map.
+
+    The M x M variational/inducing algebra (K_MM Cholesky, whitened KL)
+    is replicated p-sized math; only the per-datum likelihood rows shard.
+    ONE scalar psum per evaluation. Gradient-assembly contract matches
+    distributed_grid_mll: combine per-device grads with pmean over the
+    data axis (the psum transpose re-psums replicated cotangents, making
+    the mesh SUM ndev x the true gradient)."""
+    from ..models import svgp
+
+    ndev = jax.lax.axis_size(axis)
+    b = x_local.shape[0] * ndev
+    mu, var = svgp._predictive_qf(spec, params, buffers, x_local)
+    noise = exact_gp.noise_value(params)
+    lik = -0.5 * (LOG_2PI + jnp.log(noise) + (y_local - mu) ** 2 / noise)
+    lik = lik - 0.5 * var / noise
+    lik_term = (n_total / b) * jax.lax.psum(jnp.sum(lik), axis)
+
+    C = svgp._var_chol(params)
+    vm = params["var_mean"]
+    M = vm.shape[0]
+    kl = 0.5 * (jnp.sum(C * C) + vm @ vm - M
+                - 2.0 * jnp.sum(jnp.log(jnp.diagonal(C))))
+    return lik_term - kl
+
+
+def make_distributed_svgp_epoch(spec: ModelSpec, mesh: Mesh, optimizer,
+                                n_total: int, steps: int, batch: int):
+    """One jit'd SPMD SVGP epoch: shuffle on device, scan over `steps`
+    minibatches of `batch` rows (batch must divide by the data-axis
+    size), each step one shard_map'd value-and-grad + Adam update.
+
+    Mirrors models.svgp.train_svgp's epoch exactly (same permutation for
+    the same key), so distributed and single-device trajectories agree
+    to reduction-order roundoff. Data-axis mesh only (the M-sized
+    variational state replicates; a comp axis would have to psum inside
+    the cross-kernel — not wired)."""
+    import optax
+
+    ndev = mesh.devices.size
+    if batch % ndev:
+        raise ValueError(f"batch {batch} must divide by mesh size {ndev}")
+
+    def loss_fn(p, bufs, xl, yl):
+        return -distributed_elbo(spec, p, bufs, xl, yl, n_total) / n_total
+
+    def vg(p, bufs, xl, yl):
+        loss, g = jax.value_and_grad(loss_fn)(p, bufs, xl, yl)
+        return loss, jax.lax.pmean(g, AXIS)
+
+    smapped = jax.shard_map(
+        vg, mesh=mesh, in_specs=(P(), P(), P(AXIS), P(AXIS)),
+        out_specs=(P(), P()), check_vma=False,
+    )
+    row_sh = NamedSharding(mesh, P(AXIS))
+
+    @jax.jit
+    def epoch(params, buffers, opt_state, x, y, key):
+        perm = jax.random.permutation(key, n_total)
+        xs = x[perm[: steps * batch]].reshape(steps, batch, -1)
+        ys = y[perm[: steps * batch]].reshape(steps, batch)
+
+        def step(carry, xy):
+            params, opt_state = carry
+            xb, yb = xy
+            xb = jax.lax.with_sharding_constraint(xb, row_sh)
+            yb = jax.lax.with_sharding_constraint(yb, row_sh)
+            loss, grads = smapped(params, buffers, xb, yb)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            step, (params, opt_state), (xs, ys))
+        return params, opt_state, losses.mean()
+
+    return epoch

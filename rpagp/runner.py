@@ -54,7 +54,8 @@ def run_split(exp: ExperimentSpec, split, seed: int = 0,
     spec = exp.model
 
     if exp.model_family == "svgp":
-        return _run_split_svgp(exp, x, y, xt, yt, seed)
+        return _run_split_svgp(exp, x, y, xt, yt, seed,
+                               distributed=distributed)
     if distributed:
         return _run_split_distributed(exp, x, y, xt, yt, seed,
                                       comp_shards=comp_shards)
@@ -127,8 +128,11 @@ def run_split(exp: ExperimentSpec, split, seed: int = 0,
     }
 
 
-def _run_split_svgp(exp: ExperimentSpec, x, y, xt, yt, seed: int):
-    """SVGP branch: minibatch ELBO training + variational prediction."""
+def _run_split_svgp(exp: ExperimentSpec, x, y, xt, yt, seed: int,
+                    distributed: bool = False):
+    """SVGP branch: minibatch ELBO training + variational prediction.
+    With distributed=True each minibatch's rows shard over the data
+    mesh (parallel.sharding.make_distributed_svgp_epoch)."""
     from .models import svgp
 
     spec = exp.model
@@ -138,12 +142,22 @@ def _run_split_svgp(exp: ExperimentSpec, x, y, xt, yt, seed: int):
         k1, spec, x, num_inducing=min(exp.num_inducing, x.shape[0])
     )
     t0 = time.perf_counter()
-    res = svgp.train_svgp(
-        spec, params, buffers, x, y, k2,
-        batch_size=exp.batch_size,
-        num_epochs=max(1, exp.train.max_iters // 10),
-        lr=exp.train.lr,
-    )
+    if distributed:
+        from .parallel import sharding
+
+        res = svgp.train_svgp_distributed(
+            spec, params, buffers, x, y, k2, mesh=sharding.make_mesh(),
+            batch_size=exp.batch_size,
+            num_epochs=max(1, exp.train.max_iters // 10),
+            lr=exp.train.lr,
+        )
+    else:
+        res = svgp.train_svgp(
+            spec, params, buffers, x, y, k2,
+            batch_size=exp.batch_size,
+            num_epochs=max(1, exp.train.max_iters // 10),
+            lr=exp.train.lr,
+        )
     train_time = time.perf_counter() - t0
     mu, var = svgp.svgp_predict(spec, res.params, buffers, xt)
     rmse = float(jnp.sqrt(jnp.mean((mu - yt) ** 2)))

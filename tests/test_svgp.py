@@ -82,3 +82,65 @@ def test_var_chol_is_valid_lower_triangular():
     assert np.allclose(C, np.tril(C))
     assert (np.diagonal(C) > 0).all()
     np.testing.assert_allclose(np.diagonal(C), 1.0, atol=1e-5)  # init scale
+
+
+def _mesh8():
+    from rpagp.parallel import sharding
+    return sharding.make_mesh(jax.devices("cpu"))
+
+
+def test_distributed_elbo_matches_single_device():
+    """Value AND gradient parity of the SPMD minibatch ELBO vs
+    models.svgp.elbo on an 8-CPU mesh (pmean gradient contract)."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from rpagp.parallel import sharding
+
+    x, y = _problem(n=160)
+    spec = ModelSpec(kernel=KernelSpec.polynomial(J=4, d=1, base="rbf"))
+    params, buffers = svgp.init_svgp_params(KEY, spec, x, num_inducing=24)
+    mesh = _mesh8()
+
+    def loss_ref(p):
+        return -svgp.elbo(spec, p, buffers, x, y, x.shape[0]) / x.shape[0]
+
+    v_ref, g_ref = jax.value_and_grad(loss_ref)(params)
+
+    def local(p, bufs, xl, yl):
+        loss, g = jax.value_and_grad(
+            lambda q: -sharding.distributed_elbo(
+                spec, q, bufs, xl, yl, x.shape[0]) / x.shape[0])(p)
+        return loss, jax.lax.pmean(g, sharding.AXIS)
+
+    smapped = jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(sharding.AXIS), P(sharding.AXIS)),
+        out_specs=(P(), P()), check_vma=False))
+    v_d, g_d = smapped(params, buffers, x, y)
+    np.testing.assert_allclose(float(v_d), float(v_ref), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_d)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=1e-6)
+
+
+def test_distributed_svgp_training_matches_single_device():
+    """Full distributed training (2 epochs) reproduces the single-device
+    trajectory: same key -> same permutations -> losses and final params
+    agree to reduction-order roundoff."""
+    x, y = _problem(n=256)
+    spec = ModelSpec(kernel=KernelSpec(family="rbf"))
+    params, buffers = svgp.init_svgp_params(KEY, spec, x, num_inducing=16)
+    kt = jax.random.key(7)
+    res1 = svgp.train_svgp(spec, params, buffers, x, y, kt,
+                           batch_size=64, num_epochs=2, lr=0.05)
+    res2 = svgp.train_svgp_distributed(
+        spec, params, buffers, x, y, kt, mesh=_mesh8(),
+        batch_size=64, num_epochs=2, lr=0.05)
+    np.testing.assert_allclose(res2.losses, res1.losses, rtol=5e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(res1.params),
+                    jax.tree_util.tree_leaves(res2.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-5)
