@@ -283,11 +283,15 @@ def _chol_with_fallback_eps(C, noise):
     return jax.lax.cond(ok0, lambda _: (L0, zero), ladder, None)
 
 
-def _factor(spec: ModelSpec, kparams, state: ski.SKIState, S4, noise):
+def _factor(spec: ModelSpec, kparams, state: ski.SKIState, S4, noise,
+            chol_fn=None):
     """(G, Lc): G (J, m, m) = sqrt(scale_j) chol(T_j + eps I); Lc = the
     p x p Cholesky of C = noise I + G^T S G (+ minimal fallback jitter,
-    see _chol_with_fallback)."""
-    G, Lc, _ = _factor_diag(spec, kparams, state, S4, noise)
+    see _chol_with_fallback). chol_fn overrides the p x p factor —
+    the distributed grid step passes parallel.dist_chol's banded
+    fallback so the O(p^3) work shards over the mesh."""
+    G, Lc, _ = _factor_diag(spec, kparams, state, S4, noise,
+                            chol_fn=chol_fn)
     return G, Lc
 
 
@@ -318,7 +322,8 @@ def _grid_chol_G(spec: ModelSpec, kparams, state: ski.SKIState):
     return G, eps_t / jnp.maximum(eps0, 1e-30)
 
 
-def _factor_diag(spec: ModelSpec, kparams, state: ski.SKIState, S4, noise):
+def _factor_diag(spec: ModelSpec, kparams, state: ski.SKIState, S4, noise,
+                 chol_fn=None):
     """_factor plus the fallback-engagement diagnostics: which jitters
     the two ladders actually chose (dead-code-eliminated when the
     caller drops them)."""
@@ -329,7 +334,7 @@ def _factor_diag(spec: ModelSpec, kparams, state: ski.SKIState, S4, noise):
     Sg = jnp.einsum("ima,imjb->iajb", G, SG, precision=_HI).reshape(p, p)
     Sg = 0.5 * (Sg + Sg.T)  # rounding hygiene: kill the asymmetric error
     C = Sg + noise * jnp.eye(p, dtype=Sg.dtype)
-    Lc, eps_c = _chol_with_fallback_eps(C, noise)
+    Lc, eps_c = (chol_fn or _chol_with_fallback_eps)(C, noise)
     diag = {
         # T-ladder multiplier per block (1.0 = base grid_jitter)
         "t_jitter_mult": t_mult,

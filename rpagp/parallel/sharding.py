@@ -619,6 +619,22 @@ def prepare_distributed_grid(spec: ModelSpec, params, buffers, x_sharded,
     return state, S4
 
 
+def _grid_chol_fn(p: int, ndev: int, axis: str):
+    """The p x p factor implementation for the distributed grid solver:
+    None (replicated ops.block_chol fast path) below the banding
+    threshold, else parallel.dist_chol's row-banded fallback ladder —
+    the O(p^3) work then shards over the data axis instead of
+    replicating (see dist_chol.use_distributed_factor for the policy).
+    Trace-time choice; identical numerics either way (digit-exact factor
+    parity, tests/test_dist_chol.py)."""
+    from . import dist_chol
+
+    if not dist_chol.use_distributed_factor(p, ndev):
+        return None
+    return lambda C, nz: dist_chol.distributed_chol_with_fallback_eps(
+        C, nz, axis)
+
+
 def distributed_grid_mll(spec: ModelSpec, params, x_local, y_local,
                          state_local: ski.SKIState, S4, axis: str = AXIS):
     """EXACT grid-space Woodbury MLL on row-sharded data — the SPMD
@@ -647,7 +663,7 @@ def distributed_grid_mll(spec: ModelSpec, params, x_local, y_local,
     yc = y_local - params.get("mean_const", jnp.zeros((), y_local.dtype))
 
     G, Lc = grid_solve._factor(spec, params["kernel"], state_local, S4,
-                               noise)
+                               noise, chol_fn=_grid_chol_fn(p, ndev, axis))
     U = grid_solve._interp_T(spec.kernel, state_local,
                              yc[:, None])[:, 0, :]
     U = jax.lax.psum(U, axis)  # (J, M) — grid-sized ICI traffic
@@ -694,7 +710,10 @@ def distributed_grid_posterior(spec: ModelSpec, params, buffers, x_local,
                                           z_bounds=(lo, hi))
     S4 = jax.lax.psum(grid_solve._build_gram(kspec, st_train), axis)
     yc = y_local - exact_gp.mean_fn(spec, params, x_local)
-    G, Lc = grid_solve._factor(spec, kp, st_train, S4, noise)
+    p = S4.shape[0] * S4.shape[1]
+    G, Lc = grid_solve._factor(
+        spec, kp, st_train, S4, noise,
+        chol_fn=_grid_chol_fn(p, jax.lax.axis_size(axis), axis))
 
     # direct mean-cache form q = G C^-1 b (see grid_solve
     # _posterior_factor: algebraically equal to the n-space residual

@@ -198,3 +198,47 @@ def test_distributed_grid_posterior_product_matches_single_chip():
                                atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(var8), np.asarray(var1),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_distributed_grid_mll_with_banded_factor(monkeypatch):
+    """RPAGP_DIST_CHOL=1 routes the p x p factor through the row-banded
+    distributed Cholesky (parallel/dist_chol.py); MLL value and gradient
+    must still match the single-chip oracle.
+
+    VALUE parity stays exact (1e-5, same factor bits). The GRADIENT
+    carries the banded factor's measured ~2.5e-4 relative noise (see
+    dist_chol.distributed_blocked_cholesky's gradient-noise note:
+    depth-2 psum-transpose paths through the per-band panel cotangents;
+    the _grad_pmean barrier removes the dominant C-level scatter —
+    without it this measured 1e-3). 2.5e-4 is ~40x tighter than the
+    probe estimator the BBMM path trains with."""
+    spec, params, buffers, x, y = _setup()
+    v1, g1 = _single_chip(spec, params, buffers, x, y)
+    monkeypatch.setenv("RPAGP_DIST_CHOL", "1")
+    mesh = sharding.make_mesh(jax.devices("cpu"))
+    v8, g8, _ = _distributed(spec, params, buffers, x, y, mesh)
+    assert abs(v8 - v1) / abs(v1) < 1e-5
+    assert _grad_relerr(g8, g1) < 1e-3
+
+
+def test_distributed_grid_posterior_with_banded_factor(monkeypatch):
+    """Posterior parity with the banded factor engaged."""
+    spec, params, buffers, x, y = _setup()
+    xt = 1.2 * jax.random.normal(jax.random.key(11), (48, x.shape[1]),
+                                 jnp.float32)
+    b1 = exact_gp.prepare_buffers(spec, params, buffers, x)
+    mu1, var1 = grid_solve.grid_posterior(spec, params, b1, x, y, xt)
+
+    monkeypatch.setenv("RPAGP_DIST_CHOL", "1")
+    mesh = sharding.make_mesh(jax.devices("cpu"))
+    xs = sharding.shard_rows(x, mesh)
+    ys = sharding.shard_rows(y, mesh)
+    params_r = sharding.replicate(params, mesh)
+    buffers_r = sharding.replicate(buffers, mesh)
+    predict = sharding.make_distributed_posterior(spec, mesh,
+                                                  n_global=x.shape[0])
+    mu8, var8 = predict(params_r, buffers_r, xs, ys, xt, jax.random.key(9))
+    np.testing.assert_allclose(np.asarray(mu8), np.asarray(mu1),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(var8), np.asarray(var1),
+                               atol=1e-4, rtol=1e-4)
