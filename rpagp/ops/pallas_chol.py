@@ -58,30 +58,43 @@ _OUTER = (((0,), (0,)), ((), ()))
 def _leaf_kernel(a_ref, l_ref, linv_ref, ok_ref, *, b):
     A0 = a_ref[:]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)
+    # Mosaic constraints learned on hardware (2026-08-18):
+    #   - no lax.dynamic_slice on VMEM values (interpret mode accepts
+    #     it, the TPU lowering raises) — rows/columns are extracted by
+    #     masked VPU reductions instead;
+    #   - one-hot outer products via dot_general are MXU latency traps
+    #     (6 HIGHEST dots/row measured ~20 ms per 256-leaf) — every
+    #     rank-1 / placement op below is a (b,1)*(1,b) VPU broadcast;
+    #     only the forward-substitution matvec uses the MXU.
+    # A stays exactly symmetric: row/col are exact transposes of each
+    # other (masked reads of a symmetric A), so lcol*lrow is an exactly
+    # symmetric downdate.
+    _ROW = (((1,), (0,)), ((), ()))
 
     def body(j, carry):
         A, L, Linv, ok = carry
-        row = jax.lax.dynamic_slice(A, (j, 0), (1, b))  # A[j, :] == A[:, j]
-        oh = (lane == j).astype(A.dtype)  # (1, b) one-hot e_j
-        dj = jnp.sum(row * oh)
+        ohl = (lane == j).astype(A.dtype)  # (1, b) one-hot e_j (lanes)
+        ohc = (sub == j).astype(A.dtype)   # (b, 1) one-hot e_j (sublanes)
+        row = jnp.sum(A * ohc, axis=0, keepdims=True)  # A[j, :]  (1, b)
+        col = jnp.sum(A * ohl, axis=1, keepdims=True)  # A[:, j]  (b, 1)
+        dj = jnp.sum(row * ohl)
         okj = dj > 0.0
         rsd = jax.lax.rsqrt(jnp.where(okj, dj, 1.0))
-        # column j of L, as a row: L[i, j] = A[i, j] / sqrt(A_jj), i >= j
+        # column j of L: L[i, j] = A[i, j] / sqrt(A_jj), i >= j
         lrow = jnp.where(lane >= j, row * rsd, 0.0)
-        lrow = jnp.where(okj, lrow, oh)  # unit pivot on failure (finite)
-        # place column j (outer with the one-hot) and rank-1 downdate
-        L = L + jax.lax.dot_general(lrow, oh, _OUTER,
-                                    preferred_element_type=A.dtype)
-        A = A - jax.lax.dot_general(lrow, lrow, _OUTER,
-                                    preferred_element_type=A.dtype)
+        lrow = jnp.where(okj, lrow, ohl)  # unit pivot on failure (finite)
+        lcol = jnp.where(sub >= j, col * rsd, 0.0)
+        lcol = jnp.where(okj, lcol, ohc)
+        L = L + lcol * ohl          # place column j
+        A = A - lcol * lrow         # rank-1 downdate (exactly symmetric)
         # forward substitution row of the inverse:
         # Linv[j, :] = (e_j - L[j, :] @ Linv) / L[j, j]
-        lj = jax.lax.dynamic_slice(L, (j, 0), (1, b))  # row j of L
-        v = jax.lax.dot_general(lj, Linv, (((1,), (0,)), ((), ())),
+        lj = jnp.sum(L * ohc, axis=0, keepdims=True)  # L[j, :]  (1, b)
+        v = jax.lax.dot_general(lj, Linv, _ROW, precision=_HI,
                                 preferred_element_type=A.dtype)
-        linv_row = (oh - v) * rsd
-        Linv = Linv + jax.lax.dot_general(oh, linv_row, _OUTER,
-                                          preferred_element_type=A.dtype)
+        linv_row = (ohl - v) * rsd
+        Linv = Linv + ohc * linv_row  # place row j
         return A, L, Linv, ok & okj
 
     Z = jnp.zeros_like(A0)
@@ -89,7 +102,9 @@ def _leaf_kernel(a_ref, l_ref, linv_ref, ok_ref, *, b):
         0, b, body, (A0, Z, Z, jnp.asarray(True)))
     l_ref[:] = L
     linv_ref[:] = Linv
-    ok_ref[0, 0] = ok.astype(jnp.float32)
+    # full-ref store: Mosaic cannot store a scalar to VMEM (verified on
+    # hardware 2026-08-18; interpret mode accepts ok_ref[0, 0] = ...).
+    ok_ref[:] = jnp.full((1, 1), ok.astype(jnp.float32))
 
 
 def _leaf_call(A, interpret: bool = False):

@@ -43,7 +43,10 @@ def main():
     R = jax.random.normal(jax.random.key(1), (p, p), jnp.float32)
 
     def grad_of(chol_fn):
-        def loss(A):
+        # R passed as an ARGUMENT, not a closure: a closed-over (p, p)
+        # array inlines as an MLIR constant — HTTP 413 at p=10240
+        # (CLAUDE.md trap, measured 2026-08-18).
+        def loss(A, R):
             L = chol_fn(A)
             return jnp.vdot(L, R) + 2.0 * jnp.sum(
                 jnp.log(jnp.diagonal(L)))
@@ -51,7 +54,7 @@ def main():
 
     ms, cs = timeit(jnp.linalg.cholesky, A, iters=iters)
     print(f"builtin        fwd  p={p}: {ms:8.2f} ms   (compile {cs:.1f}s)")
-    ms, cs = timeit(grad_of(jnp.linalg.cholesky), A, iters=iters)
+    ms, cs = timeit(grad_of(jnp.linalg.cholesky), A, R, iters=iters)
     print(f"builtin        grad p={p}: {ms:8.2f} ms   (compile {cs:.1f}s)")
 
     for leaf in ("xla", "pallas"):
@@ -60,14 +63,18 @@ def main():
                 continue  # 40 sequential XLA chol+trsm pairs: pointless
             fn = lambda A, b=b, leaf=leaf: blocked_cholesky(A, block=b,
                                                             leaf=leaf)
-            ms, cs = timeit(fn, A, iters=iters)
-            print(f"blocked b={b:4d} {leaf:7s} fwd  p={p}: {ms:8.2f} ms"
-                  f"   (compile {cs:.1f}s)")
-            ms, cs = timeit(grad_of(fn), A, iters=iters)
-            print(f"blocked b={b:4d} {leaf:7s} grad p={p}: {ms:8.2f} ms"
-                  f"   (compile {cs:.1f}s)")
-            err = float(jnp.max(jnp.abs(fn(A) - jnp.linalg.cholesky(A))))
-            print(f"          max|diff vs builtin| = {err:.3e}")
+            try:
+                ms, cs = timeit(fn, A, iters=iters)
+                print(f"blocked b={b:4d} {leaf:7s} fwd  p={p}: {ms:8.2f} ms"
+                      f"   (compile {cs:.1f}s)")
+                ms, cs = timeit(grad_of(fn), A, R, iters=iters)
+                print(f"blocked b={b:4d} {leaf:7s} grad p={p}: {ms:8.2f} ms"
+                      f"   (compile {cs:.1f}s)")
+                err = float(jnp.max(jnp.abs(fn(A) - jnp.linalg.cholesky(A))))
+                print(f"          max|diff vs builtin| = {err:.3e}")
+            except Exception as e:  # keep sweeping past a broken variant
+                print(f"blocked b={b:4d} {leaf:7s} p={p}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:120]}")
 
     noise = jnp.asarray(0.5, jnp.float32)
     ms, cs = timeit(lambda C: grid_solve._chol_with_fallback(C, noise),
