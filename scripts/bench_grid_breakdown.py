@@ -46,12 +46,16 @@ print(f"n={n} J={J} m={m} p={p}")
 
 
 def timeit(f, *a, iters=10):
+    """Amortized: sync ONCE after iters dispatches (single-core TPU
+    executes in order, so the final sync covers them all). Per-call
+    float() pays the ~23.5 ms tunnel RTT per iteration — measured
+    2026-08-18, it made a 1.4 ms Pallas leaf read as 24 ms."""
     r = f(*a)
     _ = float(jnp.sum(jax.tree_util.tree_leaves(r)[0]))
     t0 = time.perf_counter()
     for _i in range(iters):
         r = f(*a)
-        _ = float(jnp.sum(jax.tree_util.tree_leaves(r)[0]))
+    _ = float(jnp.sum(jax.tree_util.tree_leaves(r)[0]))
     return (time.perf_counter() - t0) / iters * 1e3
 
 
