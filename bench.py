@@ -79,7 +79,7 @@ def main():
     x = jax.random.normal(kx, (n, D), jnp.float32)
     y = jnp.sin(2.0 * x[:, 0]) + 0.1 * jax.random.normal(ky, (n,), jnp.float32)
     params, buffers = exact_gp.init_model(jax.random.key(1), spec, D)
-    buffers = exact_gp.prepare_buffers(spec, params, buffers, x)
+    buffers = exact_gp.prepare_buffers(spec, params, buffers, x, y_train=y)
     use_grid = grid_solve.use_grid_solver(spec, n)
 
     @jax.jit
@@ -107,13 +107,20 @@ def main():
     default_iters = refresh if refresh > 1 else 5
     iters = int(os.environ.get("RPAGP_BENCH_ITERS", default_iters))
     t0 = time.perf_counter()
+    losses = []
     for i in range(iters):
         if refresh > 1 and i % refresh == 0:
             buffers = exact_gp.refresh_preconditioner(spec, params,
                                                       buffers, x)
         key, k = jax.random.split(key)
         loss, grads = step(params, buffers, x, y, k)
-        _ = float(loss)  # force completion: see warmup note
+        losses.append(loss)
+    # sync ONCE after all dispatches: a single-chip queue executes in
+    # order, so the final transfer covers every step. Per-step float()
+    # added the ~23.5 ms axon-tunnel RTT to EVERY iteration (measured
+    # 2026-08-18: 91 ms/step per-step-synced vs 66.5 ms amortized for
+    # the identical program) — that is transport latency, not step cost.
+    _ = [float(l) for l in losses]
     dt = (time.perf_counter() - t0) / iters
 
     print(

@@ -86,14 +86,19 @@ def init_model(key, spec: ModelSpec, D: int, dtype=jnp.float32):
     return params, buffers
 
 
-def prepare_buffers(spec: ModelSpec, params, buffers, x_train):
+def prepare_buffers(spec: ModelSpec, params, buffers, x_train,
+                    y_train=None):
     """Attach per-dataset precomputations to buffers (call once per split,
     before jitting the training step).
 
     Currently: the SKI interpolation geometry (grid, taps, sort plan) —
     hyperparameter-free, so rebuilding it inside every MLL evaluation
     wastes a (J, n) argsort + weight build per step (SURVEY.md §3.4's
-    "construction" work, hoisted out of the hot loop)."""
+    "construction" work, hoisted out of the hot loop). On the grid-
+    solver path, passing y_train additionally caches U^T y / U^T 1
+    (grid_solve.build_interp_y) — the cache halves the per-step
+    n-proportional work and is keyed to THIS y: only evaluate grid_mll
+    on the same training split afterwards."""
     if spec.kernel.ski:
         from ..ops import grid_solve
 
@@ -118,6 +123,12 @@ def prepare_buffers(spec: ModelSpec, params, buffers, x_train):
                 lambda st: grid_solve._build_gram(spec.kernel, st)
             )(state))
             buffers = {**buffers, "ski_uu": S4}
+            if y_train is not None:
+                uy, u1 = jax.block_until_ready(jax.jit(
+                    lambda st, yy: grid_solve.build_interp_y(
+                        spec.kernel, st, yy)
+                )(state, y_train))
+                buffers = {**buffers, "ski_uy": uy, "ski_u1": u1}
             return buffers
     if spec.precond_refresh > 1 and spec.precond_rank > 0:
         buffers = refresh_preconditioner(spec, params, buffers, x_train)

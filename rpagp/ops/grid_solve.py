@@ -155,6 +155,39 @@ def build_interp_gram(state: ski.SKIState, block: int = 8192):
     return S.reshape(J, m, J, m)
 
 
+def build_interp_y(kspec, state: ski.SKIState, y):
+    """(uy, u1) = (U^T y, U^T 1), each (J, M) — hyperparameter-free.
+
+    U (the stacked interpolation matrices) depends only on the dataset
+    geometry, so U^T y is a per-dataset constant: caching it (buffers
+    "ski_uy"/"ski_u1") removes one n-sized interp pass from the MLL
+    forward AND its adjoint from the backward — the remaining
+    n-proportional work per step is exactly one interp_apply (forward)
+    and one interp_transpose (its VJP). U^T yc then assembles in grid
+    space as uy - mean_const * u1 (interp is linear; identical to
+    interp_T(y - mu) up to one f32 rounding).
+
+    The cache is keyed to the TRAINING y: grid_mll called with a
+    different y than prepare_buffers saw would silently use the wrong
+    data. The training paths (train.py, runner, bench) always evaluate
+    the MLL on the prepared split, which is the only meaningful use of
+    a marginal likelihood."""
+    ones = jnp.ones_like(y)
+    uy = _interp_T(kspec, state, y[:, None])[:, 0, :]
+    u1 = _interp_T(kspec, state, ones[:, None])[:, 0, :]
+    return uy, u1
+
+
+def _cached_U(spec: ModelSpec, params, buffers):
+    """U^T yc from the per-dataset cache, or None when not cached."""
+    uy = buffers.get("ski_uy")
+    if uy is None:
+        return None
+    if spec.mean == "constant":
+        return uy - params["mean_const"] * buffers["ski_u1"]
+    return uy
+
+
 def _toeplitz_blocks(kspec, kparams, state: ski.SKIState):
     """(J, m, m) full Toeplitz blocks from the first columns."""
     col = ski.toeplitz_columns(kspec, kparams, state)  # (J, m)
@@ -387,8 +420,11 @@ def grid_mll(spec: ModelSpec, params, buffers, x, y):
     yc = y - exact_gp.mean_fn(spec, params, x)
 
     G, Lc = _factor(spec, params["kernel"], state, S4, noise)
-    # b = V^T yc = G^T U^T yc
-    U = _interp_T(spec.kernel, state, yc[:, None])[:, 0, :]  # (J, M)
+    # b = V^T yc = G^T U^T yc; U^T yc from the per-dataset cache when
+    # prepare_buffers saw y (build_interp_y), else one interp pass
+    U = _cached_U(spec, params, buffers)
+    if U is None:
+        U = _interp_T(spec.kernel, state, yc[:, None])[:, 0, :]  # (J, M)
     b = _Gt_apply(G, U)  # (p,)
     w = jax.scipy.linalg.cho_solve((Lc, True), b)
     Gw = _G_apply(G, w)  # (J, M)

@@ -456,9 +456,11 @@ def make_distributed_train_step(spec: ModelSpec, mesh: Mesh, optimizer,
 
     use_pre = spec.precond_rank > 0 and not spec.kernel.ski
 
-    def grid_loss_fn(params, x_local, y_local, state_local, S4):
+    def grid_loss_fn(params, x_local, y_local, state_local, S4,
+                     uy=None, u1=None):
         return -distributed_grid_mll(
-            spec, params, x_local, y_local, state_local, S4) / n_global
+            spec, params, x_local, y_local, state_local, S4,
+            uy=uy, u1=u1) / n_global
 
     def loss_fn(params, buffers, x_local, y_local, eps_local,
                 Lp, Cs, ld, eps_s, ski_state_local):
@@ -494,13 +496,17 @@ def make_distributed_train_step(spec: ModelSpec, mesh: Mesh, optimizer,
 
     @jax.jit
     def step(params, buffers, opt_state, x_sharded, y_sharded, key,
-             ski_state=None, grid_gram=None):
+             ski_state=None, grid_gram=None, grid_uy=None, grid_u1=None):
         if grid_gram is not None:
             # exact grid-space solver path: ski_state here is the
-            # comp-REPLICATED geometry from prepare_distributed_grid
-            def vg(p, xs, ys, sst, S4):
+            # comp-REPLICATED geometry from prepare_distributed_grid;
+            # grid_uy/grid_u1 (same source, y_sharded=...) drop the
+            # per-step U^T yc interp pass + psum when present
+            cached = grid_uy is not None
+
+            def vg(p, xs, ys, sst, S4, *cache):
                 loss, g = jax.value_and_grad(grid_loss_fn)(p, xs, ys,
-                                                           sst, S4)
+                                                           sst, S4, *cache)
                 # pmean, NOT psum: the mesh-sum of per-device grads is
                 # ndev x the true gradient (distributed_grid_mll
                 # docstring) — pmean makes distributed gradients match
@@ -514,12 +520,15 @@ def make_distributed_train_step(spec: ModelSpec, mesh: Mesh, optimizer,
             smapped = jax.shard_map(
                 vg, mesh=mesh,
                 in_specs=(P(), P(AXIS), P(AXIS),
-                          _ski_state_in_specs(None), P()),
+                          _ski_state_in_specs(None), P())
+                + ((P(), P()) if cached else ()),
                 out_specs=(P(), P()),
                 check_vma=False,
             )
-            loss, grads = smapped(params, x_sharded, y_sharded,
-                                  ski_state, grid_gram)
+            args = (params, x_sharded, y_sharded, ski_state, grid_gram)
+            if cached:
+                args = args + (grid_uy, grid_u1)
+            loss, grads = smapped(*args)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
@@ -572,12 +581,19 @@ def make_distributed_train_step(spec: ModelSpec, mesh: Mesh, optimizer,
 
 
 def prepare_distributed_grid(spec: ModelSpec, params, buffers, x_sharded,
-                             mesh: Mesh):
+                             mesh: Mesh, y_sharded=None):
     """(ski_state, S4) for the distributed grid solver: full-J SKI
     geometry sharded over the DATA axis only, plus the replicated
     (J, m, J, m) interp Gram S = sum_shards U_i^T U_i (one psum per
     DATASET — (p, p) ICI traffic, paid once, like the single-chip
     buffers["ski_uu"]).
+
+    With y_sharded, returns (ski_state, S4, uy, u1) instead: uy/u1 are
+    the replicated (J, M) per-dataset caches U^T y / U^T 1 (the SPMD
+    mirror of grid_solve.build_interp_y — assembled by one grid-sized
+    psum each). Thread them into make_distributed_train_step's step as
+    (grid_uy, grid_u1) and the per-step U^T yc interp pass AND its psum
+    disappear (U^T yc = uy - mean_const * u1, replicated math).
 
     Unlike prepare_distributed_ski, tfrac is NOT comp-sharded: the grid
     solver's p x p Cholesky couples ALL J components, so the comp axis
@@ -585,14 +601,15 @@ def prepare_distributed_grid(spec: ModelSpec, params, buffers, x_sharded,
     replicates the grid computation; the step's psum-over-data +
     pmean-over-comp gradient assembly already accounts for that.
 
-    Returns (None, None) when the spec doesn't run the grid solver."""
+    Returns (None, None) — or (None,) * 4 with y_sharded — when the
+    spec doesn't run the grid solver."""
     from ..ops import grid_solve
 
     kspec = spec.kernel
     n_global = x_sharded.shape[0]
     if (kspec.interp != "dense"
             or not grid_solve.use_grid_solver(spec, n_global)):
-        return None, None
+        return (None, None) if y_sharded is None else (None,) * 4
     out_sh = ski.SKIState(
         grid_lo=NamedSharding(mesh, P()), h=NamedSharding(mesh, P()),
         cells=NamedSharding(mesh, P()),
@@ -616,7 +633,17 @@ def prepare_distributed_grid(spec: ModelSpec, params, buffers, x_sharded,
         check_vma=False,
     ))
     S4 = jax.block_until_ready(gram(state))
-    return state, S4
+    if y_sharded is None:
+        return state, S4
+    uy_fn = jax.jit(jax.shard_map(
+        lambda st, yy: jax.tree_util.tree_map(
+            lambda u: jax.lax.psum(u, AXIS),
+            grid_solve.build_interp_y(kspec, st, yy)),
+        mesh=mesh, in_specs=(_ski_state_in_specs(None), P(AXIS)),
+        out_specs=(P(), P()), check_vma=False,
+    ))
+    uy, u1 = jax.block_until_ready(uy_fn(state, y_sharded))
+    return state, S4, uy, u1
 
 
 def _grid_chol_fn(p: int, ndev: int, axis: str):
@@ -636,7 +663,8 @@ def _grid_chol_fn(p: int, ndev: int, axis: str):
 
 
 def distributed_grid_mll(spec: ModelSpec, params, x_local, y_local,
-                         state_local: ski.SKIState, S4, axis: str = AXIS):
+                         state_local: ski.SKIState, S4, axis: str = AXIS,
+                         uy=None, u1=None):
     """EXACT grid-space Woodbury MLL on row-sharded data — the SPMD
     mirror of ops.grid_solve.grid_mll. Runs INSIDE shard_map.
 
@@ -644,7 +672,10 @@ def distributed_grid_mll(spec: ModelSpec, params, x_local, y_local,
     plain autodiff straight through the shard_map. Collectives per step:
     ONE (J, m) psum for U^T yc and one scalar psum for the loss shares —
     the p-space factor (batched Toeplitz chol, p x p chol) runs
-    replicated on every device.
+    replicated on every device. With the per-dataset (uy, u1) cache
+    from prepare_distributed_grid(..., y_sharded=...), U^T yc becomes
+    replicated grid-space math — the interp_T pass and its psum drop
+    out, leaving the scalar loss psum as the only per-step collective.
 
     Gradient-assembly contract: under check_vma=False the psum
     transpose re-psums replicated cotangents, which makes the MESH SUM
@@ -664,9 +695,14 @@ def distributed_grid_mll(spec: ModelSpec, params, x_local, y_local,
 
     G, Lc = grid_solve._factor(spec, params["kernel"], state_local, S4,
                                noise, chol_fn=_grid_chol_fn(p, ndev, axis))
-    U = grid_solve._interp_T(spec.kernel, state_local,
-                             yc[:, None])[:, 0, :]
-    U = jax.lax.psum(U, axis)  # (J, M) — grid-sized ICI traffic
+    if uy is not None:
+        U = uy
+        if spec.mean == "constant":
+            U = U - params["mean_const"] * u1
+    else:
+        U = grid_solve._interp_T(spec.kernel, state_local,
+                                 yc[:, None])[:, 0, :]
+        U = jax.lax.psum(U, axis)  # (J, M) — grid-sized ICI traffic
     b = grid_solve._Gt_apply(G, U)
     w = jax.scipy.linalg.cho_solve((Lc, True), b)
     Gw = grid_solve._G_apply(G, w)

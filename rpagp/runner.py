@@ -61,7 +61,7 @@ def run_split(exp: ExperimentSpec, split, seed: int = 0,
                                       comp_shards=comp_shards)
 
     params, buffers = exact_gp.init_model(jax.random.key(seed), spec, x.shape[1])
-    buffers = exact_gp.prepare_buffers(spec, params, buffers, x)
+    buffers = exact_gp.prepare_buffers(spec, params, buffers, x, y_train=y)
     n = x.shape[0]
     from .ops import grid_solve
 
@@ -196,9 +196,10 @@ def _run_split_distributed(exp: ExperimentSpec, x, y, xt, yt, seed: int,
     params = sharding.replicate(params, mesh)
     buffers = sharding.replicate(buffers, mesh)
     # exact grid-space solver when the spec dispatches to it (comp-
-    # replicated geometry + replicated U^T U Gram), else the BBMM path
-    ski_state, grid_gram = sharding.prepare_distributed_grid(
-        spec, params, buffers, xs, mesh)
+    # replicated geometry + replicated U^T U Gram + U^T y / U^T 1
+    # per-dataset caches), else the BBMM path
+    ski_state, grid_gram, grid_uy, grid_u1 = sharding.prepare_distributed_grid(
+        spec, params, buffers, xs, mesh, y_sharded=ys)
     if grid_gram is None:
         # SKI geometry is hyperparameter-free: build once per dataset
         ski_state = sharding.prepare_distributed_ski(spec, params, buffers,
@@ -220,7 +221,7 @@ def _run_split_distributed(exp: ExperimentSpec, x, y, xt, yt, seed: int,
         key, k = jax.random.split(key)
         params_prev = params if i == 0 else None
         params, opt_state, loss = step(params, buffers, opt_state, xs, ys, k,
-                                       ski_state, grid_gram)
+                                       ski_state, grid_gram, grid_uy, grid_u1)
         if params_prev is not None:
             _warn_if_frozen(params_prev, params)
         loss = float(loss)

@@ -242,3 +242,42 @@ def test_distributed_grid_posterior_with_banded_factor(monkeypatch):
                                atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(var8), np.asarray(var1),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_distributed_grid_uy_cache_parity():
+    """prepare_distributed_grid(y_sharded=...) returns the replicated
+    U^T y / U^T 1 caches; threading them through the train step must
+    reproduce the uncached distributed step's loss and parameters (the
+    cached U^T yc is the same linear algebra, assembled in grid space)."""
+    spec, params, buffers, x, y = _setup(n=512)
+    params = {**params, "mean_const": jnp.asarray(0.25, jnp.float32)}
+    mesh = sharding.make_mesh(jax.devices("cpu"))
+    xs = sharding.shard_rows(x, mesh)
+    ys = sharding.shard_rows(y, mesh)
+    params_r = sharding.replicate(params, mesh)
+    buffers_r = sharding.replicate(buffers, mesh)
+    state, S4, uy, u1 = sharding.prepare_distributed_grid(
+        spec, params_r, buffers_r, xs, mesh, y_sharded=ys)
+    assert uy is not None and u1 is not None
+
+    opt = optax.adam(0.05)
+    step = sharding.make_distributed_train_step(spec, mesh, opt,
+                                                n_global=x.shape[0])
+
+    def run(*cache):
+        p, o = params_r, opt.init(params_r)
+        losses = []
+        for i in range(3):
+            p, o, loss = step(p, buffers_r, o, xs, ys,
+                              jax.random.key(9), state, S4, *cache)
+            losses.append(float(loss))
+        return p, losses
+
+    p0, l0 = run()
+    p1, l1 = run(uy, u1)
+    np.testing.assert_allclose(l1, l0, rtol=1e-5)
+    # params: one f32 rounding in U^T yc, amplified by Adam's
+    # grad/sqrt(v) rescaling over 3 steps — roundoff, not bias
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)

@@ -300,3 +300,23 @@ def test_interp_gram_matches_dense():
     S_o = jnp.einsum("inm,jnk->imjk", W, W, precision=HI)
     np.testing.assert_allclose(np.asarray(S), np.asarray(S_o),
                                atol=1e-4, rtol=1e-5)
+
+
+def test_grid_mll_uy_cache_parity():
+    """The per-dataset U^T y / U^T 1 cache (prepare_buffers(y_train=...))
+    must reproduce the uncached MLL value and gradient: U^T yc assembled
+    as uy - mean_const * u1 is the same linear map as interp_T(y - mu),
+    so any difference is one f32 rounding. The nonzero mean_const makes
+    the u1 leg (and its mean gradient) load-bearing."""
+    spec, params, buffers, x, y = _setup()
+    params = {**params, "mean_const": jnp.asarray(0.37, jnp.float32)}
+    bufc = exact_gp.prepare_buffers(spec, params, dict(kernel=buffers["kernel"]),
+                                    x, y_train=y)
+    assert "ski_uy" in bufc and "ski_u1" in bufc
+
+    v0, g0 = jax.value_and_grad(
+        lambda p: grid_solve.grid_mll(spec, p, buffers, x, y))(params)
+    v1, g1 = jax.value_and_grad(
+        lambda p: grid_solve.grid_mll(spec, p, bufc, x, y))(params)
+    assert abs(float(v1 - v0)) / abs(float(v0)) < 1e-5
+    assert _grad_relerr(g1, g0) < 1e-4
