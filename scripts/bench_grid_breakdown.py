@@ -37,7 +37,7 @@ kx, ky = jax.random.split(jax.random.key(0))
 x = jax.random.normal(kx, (n, D), jnp.float32)
 y = jnp.sin(2.0 * x[:, 0]) + 0.1 * jax.random.normal(ky, (n,), jnp.float32)
 params, buffers = exact_gp.init_model(jax.random.key(1), spec, D)
-buffers = exact_gp.prepare_buffers(spec, params, buffers, x)
+buffers = exact_gp.prepare_buffers(spec, params, buffers, x, y_train=y)
 state = buffers["ski_state"]
 S4 = buffers["ski_uu"]
 noise = exact_gp.noise_value(params)
