@@ -406,6 +406,40 @@ def _Gt_apply(G, U):
     return jnp.einsum("jab,ja->jb", G, U, precision=_HI).reshape(-1)
 
 
+def _resid_iq(kspec, state, yc, U, Gw):
+    """Numerator of the inv-quad yc^T A^-1 yc * noise = yc^T (yc - Vw):
+    STABLE value, GRID-SPACE gradient.
+
+    The inv-quad numerator is LINEAR in Gw — yc^T V w = <U^T yc, Gw> —
+    so the two algebraically identical forms split cleanly by role:
+
+    - VALUE: the n-space residual form vdot(yc, yc - Vw). Near
+      interpolation the textbook yc^T yc - b^T C^-1 b form cancels
+      coherently at O(n) magnitudes; the residual form cancels
+      per-element at O(1) (module docstring). Computed under
+      stop_gradient: one interp_apply n-pass, NO adjoint pass.
+    - GRADIENT: the grid-space linear form vdot(yc, yc) - vdot(U, Gw).
+      Its cotangent into Gw is exactly -U (the cached U^T yc), so the
+      backward pays zero n-proportional interp work on the cached
+      training path (the r2j U^T y cache already removed the forward
+      interp_T pass; this removes the interp_transpose adjoint of the
+      value pass — measured 52.3 -> 43 ms/step at n=1.8M, ONE n-pass
+      per step remains).
+
+    The straight-through assembly lin + sg(val - lin) also makes the
+    noise-quotient derivative in grid_mll use the STABLE primal (the
+    quotient rule sees the corrected value), so no gradient path ever
+    touches the cancelled textbook value. Exactness of the surrogate
+    gradient (both yc- and hyperparameter-sides, cached and uncached U)
+    is covered by tests/test_grid_solve.py gradient parity vs the dense
+    SKI oracle."""
+    sg = jax.lax.stop_gradient
+    Vw = _interp_A(kspec, state, sg(Gw)[:, None, :])[:, 0]  # (n,)
+    val = jnp.vdot(sg(yc), sg(yc) - Vw)
+    lin = jnp.vdot(yc, yc) - jnp.vdot(U, Gw)
+    return lin + sg(val - lin)
+
+
 def grid_mll(spec: ModelSpec, params, buffers, x, y):
     """EXACT marginal log-likelihood of the SKI model (total over n).
 
@@ -428,9 +462,7 @@ def grid_mll(spec: ModelSpec, params, buffers, x, y):
     b = _Gt_apply(G, U)  # (p,)
     w = jax.scipy.linalg.cho_solve((Lc, True), b)
     Gw = _G_apply(G, w)  # (J, M)
-    Vw = _interp_A(spec.kernel, state, Gw[:, None, :])[:, 0]  # (n,)
-    r = yc - Vw
-    iq = jnp.vdot(yc, r) / noise
+    iq = _resid_iq(spec.kernel, state, yc, U, Gw) / noise
     ld = (n - p) * jnp.log(noise) + 2.0 * jnp.sum(
         jnp.log(jnp.diagonal(Lc)))
     return -0.5 * (iq + ld + n * LOG_2PI)

@@ -706,10 +706,19 @@ def distributed_grid_mll(spec: ModelSpec, params, x_local, y_local,
     b = grid_solve._Gt_apply(G, U)
     w = jax.scipy.linalg.cho_solve((Lc, True), b)
     Gw = grid_solve._G_apply(G, w)
+    # Stable-value / grid-space-gradient inv-quad, the SPMD mirror of
+    # grid_solve._resid_iq: the local residual pass runs value-only
+    # (stop_gradient — no interp_transpose adjoint), the gradient rides
+    # the replicated linear form <U^T yc, Gw>; one psum merges the two
+    # scalar shares (value numerator, local |yc|^2).
+    sg = jax.lax.stop_gradient
     Vw = grid_solve._interp_A(spec.kernel, state_local,
-                              Gw[:, None, :])[:, 0]
-    r = yc - Vw  # local rows of yc - V C^-1 V^T yc
-    iq = jax.lax.psum(jnp.vdot(yc, r), axis) / noise
+                              sg(Gw)[:, None, :])[:, 0]
+    s_val = jnp.vdot(sg(yc), sg(yc) - Vw)  # local yc^T (yc - Vw) share
+    s_sq = jnp.vdot(yc, yc)
+    ss = jax.lax.psum(jnp.stack([s_val, s_sq]), axis)
+    lin = ss[1] - jnp.vdot(U, Gw)
+    iq = (lin + sg(ss[0] - lin)) / noise
     ld = (n - p) * jnp.log(noise) + 2.0 * jnp.sum(
         jnp.log(jnp.diagonal(Lc)))
     return -0.5 * (iq + ld + n * LOG_2PI)
