@@ -30,9 +30,31 @@ def mll(spec: ModelSpec, params, buffers, x, y, key=None):
         return exact_gp.exact_mll(spec, params, buffers, x, y)
     from .ops import grid_solve
 
-    if (grid_solve.use_grid_solver(spec, n)
-            and isinstance(buffers, dict) and "ski_uu" in buffers):
-        # exact grid-space Woodbury MLL: deterministic, key unused
+    if grid_solve.use_grid_solver(spec, n):
+        # exact grid-space Woodbury MLL: deterministic, key unused.
+        # The dispatch must agree with posterior()'s (spec/size alone) —
+        # never silently substitute the stochastic BBMM estimator just
+        # because the caller skipped prepare_buffers. The grid caches
+        # are hyperparameter-free, so build them inline (traceable);
+        # warn once at trace time since rebuilding per step is wasteful.
+        if not isinstance(buffers, dict) or "ski_uu" not in buffers:
+            import warnings
+
+            warnings.warn(
+                "mll(): grid-solver dispatch with unprepared buffers — "
+                "building the SKI geometry/Gram inline. Call "
+                "exact_gp.prepare_buffers(spec, params, buffers, x, "
+                "y_train=y) once per dataset to cache them.",
+                stacklevel=2,
+            )
+            sg = jax.lax.stop_gradient
+            buffers = dict(buffers)
+            if "ski_state" not in buffers:
+                buffers["ski_state"] = grid_solve._build_geometry(
+                    spec.kernel, sg(params["kernel"]), buffers["kernel"],
+                    x, spec.kernel.grid_size)
+            buffers["ski_uu"] = grid_solve._build_gram(
+                spec.kernel, buffers["ski_state"])
         return grid_solve.grid_mll(spec, params, buffers, x, y)
     from .ops.iterative import iterative_mll  # deferred: stage-3 module
 

@@ -670,12 +670,13 @@ def distributed_grid_mll(spec: ModelSpec, params, x_local, y_local,
 
     Deterministic: no probes, no CG, no preconditioner; gradients are
     plain autodiff straight through the shard_map. Collectives per step:
-    ONE (J, m) psum for U^T yc and one scalar psum for the loss shares —
-    the p-space factor (batched Toeplitz chol, p x p chol) runs
-    replicated on every device. With the per-dataset (uy, u1) cache
-    from prepare_distributed_grid(..., y_sharded=...), U^T yc becomes
+    ONE (J, m) psum for U^T yc and one stacked two-scalar psum for the
+    loss shares (inv-quad value numerator + local |yc|^2) — the p-space
+    factor (batched Toeplitz chol, p x p chol) runs replicated on every
+    device. With the per-dataset (uy, u1) cache from
+    prepare_distributed_grid(..., y_sharded=...), U^T yc becomes
     replicated grid-space math — the interp_T pass and its psum drop
-    out, leaving the scalar loss psum as the only per-step collective.
+    out, leaving the stacked loss psum as the only per-step collective.
 
     Gradient-assembly contract: under check_vma=False the psum
     transpose re-psums replicated cotangents, which makes the MESH SUM

@@ -219,16 +219,18 @@ def _run_split_distributed(exp: ExperimentSpec, x, y, xt, yt, seed: int,
                                  best_params=params)
     for i in range(exp.train.max_iters):
         key, k = jax.random.split(key)
-        params_prev = params if i == 0 else None
+        params_prev = params
         params, opt_state, loss = step(params, buffers, opt_state, xs, ys, k,
                                        ski_state, grid_gram, grid_uy, grid_u1)
-        if params_prev is not None:
+        if i == 0:
             _warn_if_frozen(params_prev, params)
         loss = float(loss)
         losses.append(loss)
         if not jnp.isfinite(loss):
             break
-        if tracker.update(loss, params):
+        # pair the loss with the params it was evaluated at (train.py
+        # ConvergenceTracker contract — not the post-update iterate)
+        if tracker.update(loss, params_prev):
             break
     best_params = tracker.best_params
     train_time = time.perf_counter() - t0

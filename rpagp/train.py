@@ -183,13 +183,13 @@ def train_to_convergence(
     for i in range(max_iters):
         if args_refresh is not None and i > 0 and i % args_refresh[0] == 0:
             loss_args = args_refresh[1](params, loss_args)
-        params_prev = params if i == 0 else None
+        params_prev = params
         if stochastic:
             key, sub = jax.random.split(key)
             params, opt_state, loss = step(params, opt_state, *loss_args, sub)
         else:
             params, opt_state, loss = step(params, opt_state, *loss_args)
-        if params_prev is not None:
+        if i == 0:
             _warn_if_frozen(params_prev, params)
         loss = float(loss)
         losses.append(loss)
@@ -198,7 +198,11 @@ def train_to_convergence(
         if not jnp.isfinite(loss):
             # diverged — return the best params seen
             break
-        if tracker.update(loss, params):
+        # the step returns loss(params_prev): pair the loss with the
+        # params it was EVALUATED at, not the post-update iterate
+        # (post-step params were never evaluated; on exact plateaus the
+        # patience stop would otherwise return one-Adam-step-past-best)
+        if tracker.update(loss, params_prev):
             converged = True
             break
     return TrainResult(
@@ -294,6 +298,7 @@ def train_with_checkpointing(
     converged = False
     i = start
     for i in range(start, max_iters):
+        params_prev = params
         if stochastic:
             key, sub = jax.random.split(key)
             params, opt_state, loss = step(params, opt_state, *loss_args, sub)
@@ -303,7 +308,9 @@ def train_with_checkpointing(
         losses.append(loss)
         if not jnp.isfinite(loss):
             break
-        converged = tracker.update(loss, params)
+        # pair the loss with the params it was evaluated at (see
+        # train_to_convergence)
+        converged = tracker.update(loss, params_prev)
         _save(i + 1, params, opt_state, key)
         if converged:
             break

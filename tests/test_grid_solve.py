@@ -229,6 +229,26 @@ def test_dispatch_policy_and_mll_routing():
     assert float(v) == pytest.approx(float(vg), rel=1e-6)
 
 
+def test_mll_unprepared_buffers_still_routes_to_grid():
+    """mll() must dispatch on spec/size alone, like posterior(): with
+    UNPREPARED buffers it builds the hyperparameter-free grid caches
+    inline (with a warning) rather than silently substituting the
+    stochastic BBMM estimator for the exact solver."""
+    from rpagp.mll import mll as mll_fn
+
+    spec, params, buffers, x, y = _setup(n=500, J=4, m=32)
+    raw = {"kernel": buffers["kernel"]}  # as if prepare_buffers was skipped
+    with pytest.warns(UserWarning, match="prepare_buffers"):
+        v_raw = mll_fn(spec, params, raw, x, y)
+    v_prep = mll_fn(spec, params, buffers, x, y)
+    # same solver, same deterministic answer (identical geometry/Gram)
+    assert float(v_raw) == pytest.approx(float(v_prep), rel=1e-6)
+    # and it must be differentiable through the inline build
+    g = jax.grad(lambda p: mll_fn(spec, p, raw, x, y))(params)
+    assert all(np.all(np.isfinite(np.asarray(l)))
+               for l in jax.tree.leaves(g))
+
+
 def test_grid_posterior_extrapolating_test_points():
     """Test points projecting OUTSIDE the train range: the union grid
     covers them; variances stay positive and means finite."""

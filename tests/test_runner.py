@@ -124,8 +124,11 @@ def test_runner_distributed_end_to_end():
         assert len(rows) == 1
         assert np.isfinite(float(rows[0]["rmse"]))
         assert np.isfinite(float(rows[0]["nll"]))
-        # sanity: no worse than ~the constant predictor on z-scored y
-        assert float(rows[0]["rmse"]) < 1.1
+        # measured 0.888 / 1.300 on this seed; a constant predictor on
+        # z-scored targets scores rmse ~1.0 / nll ~1.42 — the SPMD
+        # end-to-end path must FAIL when the model learns nothing
+        assert float(rows[0]["rmse"]) < 0.93
+        assert float(rows[0]["nll"]) < 1.40
 
 
 def test_runner_distributed_comp_shards_end_to_end():
@@ -160,7 +163,10 @@ def test_runner_distributed_comp_shards_end_to_end():
         assert len(rows) == 1
         assert np.isfinite(float(rows[0]["rmse"]))
         assert np.isfinite(float(rows[0]["nll"]))
-        assert float(rows[0]["rmse"]) < 1.1
+        # measured 0.888 / 1.300 (same band rationale as the 1-D mesh
+        # test above: a constant predictor must fail)
+        assert float(rows[0]["rmse"]) < 0.93
+        assert float(rows[0]["nll"]) < 1.40
 
 
 def test_runner_distributed_trains_past_patience():

@@ -1,0 +1,77 @@
+"""Training-loop contracts (rpagp/train.py).
+
+The key invariant under test: the returned best params are the iterate
+the best loss was EVALUATED at. The jitted step returns
+loss(params_in) alongside params_out = adam(params_in), so pairing the
+loss with params_out (the historical off-by-one) returns params one
+Adam step PAST the best iterate — params whose loss was never computed.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rpagp.train import ConvergenceTracker, train_fixed, train_to_convergence
+
+
+def test_tracker_pairs_loss_with_its_params():
+    """Unit contract: best_params is the params object passed WITH the
+    best loss (the caller guarantees that pairing)."""
+    tr = ConvergenceTracker(patience=3, rel_tol=1e-9)
+    seq = [(5.0, "p0"), (4.0, "p1"), (3.0, "p2"),
+           (3.0, "p3"), (3.0, "p4"), (3.0, "p5")]
+    stopped = False
+    for loss, tag in seq:
+        if tr.update(loss, tag):
+            stopped = True
+            break
+    assert stopped  # exact plateau exhausts patience=3
+    assert tr.best == 3.0
+    assert tr.best_params == "p2"  # the iterate that ACHIEVED 3.0
+
+
+def test_train_returns_params_achieving_best_recorded_loss():
+    """End-to-end: re-evaluating the loss at the returned params must
+    reproduce min(losses). With the off-by-one the returned params are
+    one step past the best iterate and this fails."""
+
+    def loss_fn(params):
+        return jnp.sum((params["w"] - 3.0) ** 2)
+
+    params = {"w": jnp.zeros((2,), jnp.float32)}
+    res = train_to_convergence(loss_fn, params, lr=0.3, max_iters=200,
+                               patience=5, rel_tol=1e-7)
+    assert res.converged
+    best_recorded = min(res.losses)
+    re_eval = float(loss_fn(res.params))
+    assert re_eval == pytest.approx(best_recorded, rel=1e-6, abs=1e-7)
+
+
+def test_train_with_checkpointing_same_pairing(tmp_path):
+    from rpagp.train import train_with_checkpointing
+
+    def loss_fn(params):
+        return jnp.sum((params["w"] - 1.5) ** 2)
+
+    params = {"w": jnp.zeros((3,), jnp.float32)}
+    res = train_with_checkpointing(
+        loss_fn, params, str(tmp_path), lr=0.2, max_iters=150,
+        patience=5, rel_tol=1e-7, checkpoint_every=50)
+    best_recorded = min(res.losses)
+    re_eval = float(loss_fn(res.params))
+    assert re_eval == pytest.approx(best_recorded, rel=1e-6, abs=1e-7)
+
+
+def test_train_fixed_matches_loop_trajectory():
+    """train_fixed (one lax.scan program) and the Python loop walk the
+    same Adam trajectory on a deterministic loss."""
+
+    def loss_fn(params):
+        return jnp.sum((params["w"] - 2.0) ** 2) + params["b"] ** 2
+
+    params = {"w": jnp.ones((2,), jnp.float32), "b": jnp.asarray(1.0)}
+    p_fixed, losses_fixed = train_fixed(loss_fn, params, lr=0.1,
+                                        num_iters=25)
+    res = train_to_convergence(loss_fn, params, lr=0.1, max_iters=25,
+                               patience=100, rel_tol=0.0)
+    assert jnp.allclose(jnp.asarray(res.losses), losses_fixed, rtol=1e-5)
