@@ -62,11 +62,17 @@ _HI = jax.lax.Precision.HIGHEST
 
 # absolute cap on p = J*m for auto-dispatch: the p-space factor work
 # (p x p Cholesky + its VJP + the G^T S G einsums) stops paying off past
-# this. Measured on one v5e core: at p = 5120 the whole step is ~90 ms
-# of p-work + ~12 ms/M-rows of interp; at p = 10240 (protein spec at
-# m=512) the step ballooned to ~8.5 s/iter vs BBMM's 1.5 s/iter on the
-# same spec — the crossover sits between. solver="grid" still forces
-# past the cap.
+# this. Re-measured r3 WITH the blocked factor (scripts/bench_crossover.py,
+# one v5e core, n=45k, full value+grad step, amortized sync;
+# docs/BENCHMARKS.md "grid vs BBMM crossover, r3"):
+#   p= 5120: grid  41 ms vs bbmm(cg=60)  55 ms  -> grid
+#   p= 8192: grid  96 ms vs bbmm         70 ms  -> bbmm
+#   p=10240: grid 156 ms vs bbmm         83 ms  (was 8.5 s pre-blocked)
+#   p=16384: grid 602 ms vs bbmm        123 ms
+# The step-time crossover still sits between 5120 and 8192, so the cap
+# stands. solver="grid" still forces past it (the grid step stays exact
+# and deterministic — at p=10240 that now costs only ~1.9x BBMM's step,
+# not 5.7x, so forcing is a reasonable accuracy choice).
 _P_MAX = 6144
 
 

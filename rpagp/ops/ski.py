@@ -218,15 +218,22 @@ def toeplitz_columns(spec: KernelSpec, kparams, state: SKIState):
     """First columns of the T_j: k1d(g_a - g_0) over the grid — (J, m).
 
     The only lengthscale-dependent piece; re-evaluated per training step.
-    """
+    Mixed base kernels (the generalized-kernel family,
+    [U] gp_models/kernels.py GeneralizedProjectionKernel) evaluate as one
+    static per-BASE row split: bases is a static tuple, so the grouping
+    is trace-time bookkeeping and the downstream batched FFT plan is
+    unchanged (sym_toeplitz_matmul only consumes column VALUES)."""
     ls = softplus(kparams["raw_lengthscale"])  # (J,) for degree-1
-    dists = state.cells[None, :] * state.h[:, None]  # (J, m)
+    scaled = state.cells[None, :] * state.h[:, None] / ls[:, None]  # (J, m)
     base = spec.bases[0]
-    # all degree-1 bases are required uniform for the batched FFT; mixed
-    # bases would need a (cheap) per-group split — not in the reference.
-    if any(b != base for b in spec.bases):
-        raise ValueError("SKI currently requires a uniform base kernel")
-    return _k1d(base, dists / ls[:, None])
+    if all(b == base for b in spec.bases):
+        return _k1d(base, scaled)
+    out = jnp.zeros_like(scaled)
+    for b in sorted(set(spec.bases)):
+        rows = jnp.asarray(
+            [j for j, bj in enumerate(spec.bases) if bj == b])
+        out = out.at[rows].set(_k1d(b, scaled[rows]))
+    return out
 
 
 def sym_toeplitz_matmul(col, U):

@@ -33,9 +33,11 @@ the grid solver is strictly better in the p << n regime these grids
 live in, and there is no reference behavior to match (the reference
 rejects the combination outright).
 
-Supported: uniform degrees and a uniform base across components (the
-batched factor ops want one (Jf, ...) shape). Heterogeneous degrees
-would need per-group batching — not in the reference either.
+Supported: uniform degrees across components (the batched factor ops
+want one (Jf, ...) shape; heterogeneous degrees would need per-group
+batching — not in the reference either). Mixed BASE kernels are
+supported via a static per-base row split in the factor Toeplitz
+columns (toeplitz_columns_factors).
 
 State: a plain ops.ski.SKIState whose rows are the Jf = J * F factors
 (ski.build_ski_factors). All functions here take `spec` to recover the
@@ -67,8 +69,6 @@ def factors_per_component(spec: KernelSpec) -> int:
     d = spec.degrees[0]
     if any(dd != d for dd in spec.degrees):
         raise ValueError("product SKI supports uniform degrees only")
-    if any(b != spec.bases[0] for b in spec.bases):
-        raise ValueError("product SKI requires a uniform base kernel")
     return int(d) * int(spec.sub_dim)
 
 
@@ -94,10 +94,24 @@ def factor_lengthscales(spec: KernelSpec, kparams):
 
 
 def toeplitz_columns_factors(spec: KernelSpec, kparams, state):
-    """First columns of the factor Toeplitz matrices — (Jf, m)."""
+    """First columns of the factor Toeplitz matrices — (Jf, m).
+
+    Mixed bases: a component's F factors share its base (the exact
+    kernel's product structure, kernels._projection_gram), so factor row
+    j*F+f uses bases[j]; the split over distinct bases is static
+    trace-time bookkeeping (same pattern as ski.toeplitz_columns)."""
     ls = factor_lengthscales(spec, kparams)
-    dists = state.cells[None, :] * state.h[:, None]  # (Jf, m)
-    return _k1d(spec.bases[0], dists / ls[:, None])
+    scaled = state.cells[None, :] * state.h[:, None] / ls[:, None]  # (Jf, m)
+    base = spec.bases[0]
+    if all(b == base for b in spec.bases):
+        return _k1d(base, scaled)
+    F = factors_per_component(spec)
+    fbases = [b for b in spec.bases for _ in range(F)]  # (Jf,) row bases
+    out = jnp.zeros_like(scaled)
+    for b in sorted(set(fbases)):
+        rows = jnp.asarray([i for i, bi in enumerate(fbases) if bi == b])
+        out = out.at[rows].set(_k1d(b, scaled[rows]))
+    return out
 
 
 def toeplitz_blocks_factors(spec: KernelSpec, kparams, state):

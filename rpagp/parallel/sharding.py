@@ -183,6 +183,11 @@ def _slice_components(spec: ModelSpec, params, buffers, comp_axis: str):
     cidx = jax.lax.axis_index(comp_axis)
     assert kspec.J % csize == 0, "J must divide the comp axis"
     assert all(d == 1 for d in kspec.degrees), "comp sharding: degree-1 only"
+    # the local spec's bases tuple is STATIC but the device's component
+    # range is dynamic (axis_index) — a mixed-base slice cannot be
+    # expressed; reject rather than silently evaluate the wrong base
+    assert len(set(kspec.bases)) <= 1, \
+        "comp sharding requires a uniform base kernel"
     Jl = kspec.J // csize
     sk = kspec.sub_dim
     kspec_l = kspec.__class__(

@@ -249,6 +249,61 @@ def test_mll_unprepared_buffers_still_routes_to_grid():
                for l in jax.tree.leaves(g))
 
 
+def test_grid_mll_mixed_base_matches_explicit_oracle():
+    """Mixed-BASE degree-1 SKI (the generalized-kernel family) through
+    the exact grid solver. The oracle computes every T_j column with
+    explicit per-base closed forms (not ski.toeplitz_columns, which now
+    contains the code under test)."""
+    kspec = KernelSpec.generalized(
+        degrees=(1, 1, 1, 1),
+        bases=("rbf", "matern32", "rbf", "matern12"),
+        proj_dist="gaussian", ski=True, grid_size=32)
+    spec = ModelSpec(kernel=kspec, max_cholesky_size=64)
+    n, D = 500, 5
+    kx, ky = jax.random.split(jax.random.key(0))
+    x = jax.random.normal(kx, (n, D), jnp.float32)
+    y = jnp.sin(2.0 * x[:, 0]) + 0.3 * jax.random.normal(
+        ky, (n,), jnp.float32)
+    params, buffers = exact_gp.init_model(jax.random.key(1), spec, D)
+    buffers = exact_gp.prepare_buffers(spec, params, buffers, x)
+    assert grid_solve.use_grid_solver(spec, n)  # no longer locked out
+
+    def explicit_cols(kparams, state):
+        from rpagp.utils.transforms import softplus as sp
+
+        ls = sp(kparams["raw_lengthscale"])
+        t = state.cells[None, :] * state.h[:, None] / ls[:, None]
+        rows = [jnp.exp(-0.5 * t[0] ** 2),
+                (1.0 + jnp.sqrt(3.0) * jnp.abs(t[1]))
+                * jnp.exp(-jnp.sqrt(3.0) * jnp.abs(t[1])),
+                jnp.exp(-0.5 * t[2] ** 2),
+                jnp.exp(-jnp.abs(t[3]))]
+        return jnp.stack(rows)
+
+    def oracle(p):
+        state = buffers["ski_state"]
+        W = ski._cubic_kernel(state.tfrac[:, :, None] - state.cells)
+        col = explicit_cols(p["kernel"], state)
+        m = state.m
+        idx = jnp.abs(jnp.arange(m)[:, None] - jnp.arange(m)[None, :])
+        T = col[:, idx] + spec.grid_jitter * jnp.eye(m)
+        scales = _component_scales(spec.kernel, p["kernel"], W.dtype)
+        K = jnp.einsum("jnm,jmk,jlk->nl", W, T,
+                       W * scales[:, None, None], precision=HI)
+        A = K + exact_gp.noise_value(p) * jnp.eye(n)
+        yc = y - exact_gp.mean_fn(spec, p, x)
+        L = jnp.linalg.cholesky(A)
+        alpha = jax.scipy.linalg.cho_solve((L, True), yc)
+        ld = 2.0 * jnp.sum(jnp.log(jnp.diag(L)))
+        return -0.5 * (yc @ alpha + ld + n * jnp.log(2.0 * jnp.pi))
+
+    v, g = jax.value_and_grad(
+        lambda p: grid_solve.grid_mll(spec, p, buffers, x, y))(params)
+    vo, go = jax.value_and_grad(oracle)(params)
+    assert abs(float(v - vo)) / abs(float(vo)) < 1e-4
+    assert _grad_relerr(g, go) < 1e-3
+
+
 def test_grid_posterior_extrapolating_test_points():
     """Test points projecting OUTSIDE the train range: the union grid
     covers them; variances stay positive and means finite."""

@@ -205,6 +205,48 @@ def test_grid_posterior_product_matches_dense_oracle():
                                rtol=2e-2, atol=5e-3)
 
 
+def test_product_mixed_base_tracks_exact_kernel():
+    """Mixed-BASE product SKI (uniform degree 2, rbf + matern32
+    components): the grid MLL must track the EXACT dense kernel MLL —
+    an oracle (kernels._projection_gram via _component_groups) that
+    shares none of the factor-Toeplitz code under test."""
+    kspec = KernelSpec.generalized(
+        degrees=(2, 2, 2), bases=("rbf", "matern32", "rbf"),
+        proj_dist="gaussian", ski=True, grid_size=24)
+    spec = ModelSpec(kernel=kspec, max_cholesky_size=64)
+    n, D = 300, 5
+    kx, ky = jax.random.split(jax.random.key(2))
+    x = jax.random.normal(kx, (n, D), jnp.float32)
+    y = jnp.sin(2.0 * x[:, 0] - x[:, 1]) + 0.3 * jax.random.normal(
+        ky, (n,), jnp.float32)
+    params, buffers = exact_gp.init_model(jax.random.key(3), spec, D)
+    buffers = exact_gp.prepare_buffers(spec, params, buffers, x)
+    v = grid_solve.grid_mll(spec, params, buffers, x, y)
+    ve = exact_gp.exact_mll(spec, params, buffers, x, y)
+    # matern32 is C^1 (vs rbf's C^inf): cubic-interp error is larger at
+    # the same grid — measured 2.5e-3/point at m=24 (rbf-only: <2e-3)
+    assert abs(float(v - ve)) / n < 4e-3
+    # and the factor columns match explicit per-base closed forms
+    state = buffers["ski_state"]
+    col = ski_product.toeplitz_columns_factors(kspec, params["kernel"],
+                                               state)
+    from rpagp.utils.transforms import softplus as sp
+
+    ls = jnp.repeat(sp(params["kernel"]["raw_lengthscale"]),
+                    kspec.sub_dim)
+    t = np.asarray(state.cells[None, :] * state.h[:, None] / ls[:, None])
+    expect = np.empty_like(t)
+    fbases = [b for b in kspec.bases for _ in range(2)]
+    for i, b in enumerate(fbases):
+        if b == "rbf":
+            expect[i] = np.exp(-0.5 * t[i] ** 2)
+        else:
+            s = np.sqrt(3.0) * np.abs(t[i])
+            expect[i] = (1.0 + s) * np.exp(-s)
+    np.testing.assert_allclose(np.asarray(col), expect, rtol=1e-5,
+                               atol=1e-6)
+
+
 def test_product_validation_errors():
     with pytest.raises(ValueError, match="bbmm"):
         spec, params, buffers, x, y = _setup(n=100, J=2, d=2, m=8,
