@@ -44,6 +44,20 @@ from ..utils.transforms import softplus
 
 FULL_D_FAMILIES = ("rbf", "matern12", "matern32", "matern52")
 
+# The J->inf LIMIT of the RPA kernel for gaussian projections + RBF base
+# (arXiv:1912.12834 Thm 1): p ~ N(0, I/D) gives p.(x-x') ~ N(0,
+# ||x-x'||^2/D), and E_z~N(0,s^2) exp(-z^2/(2 l^2)) = 1/sqrt(1+s^2/l^2):
+#
+#     k_inf(x, x') = outputscale / sqrt(1 + ||x - x'||^2 / (D l^2))
+#
+# Runnable as a MODEL (not just the test/figure oracle in
+# scripts/j_convergence.py) so the finite-J accuracy gap can be
+# separated from the kernel-FAMILY gap on any dataset: if rp_poly_jJ
+# trails exact_rbf but matches rp_limit_rbf, the gap is the family on
+# that data (benign, the paper's regime); if it trails rp_limit_rbf by
+# more than the O(1/sqrt(J)) band, the finite-J spec is at fault.
+LIMIT_FAMILIES = ("rp_limit_rbf",)
+
 
 @dataclasses.dataclass(frozen=True)
 class KernelSpec:
@@ -173,6 +187,12 @@ def init_kernel_params(key, spec: KernelSpec, D: int, dtype=jnp.float32):
             "raw_outputscale": zeros(()),
         }
         return params, {}
+    if spec.family in LIMIT_FAMILIES:
+        # one SHARED lengthscale: the limit integral ties every
+        # projection's 1-D base lengthscale to a single l (ARD has no
+        # analog — the gaussian projection mixes input dims isotropically)
+        return {"raw_lengthscale": zeros((1,)),
+                "raw_outputscale": zeros(())}, {}
 
     if not spec.is_projection:
         raise ValueError(f"unknown kernel family {spec.family!r}")
@@ -264,6 +284,26 @@ def _full_d_gram(spec: KernelSpec, params, x1, x2):
     return outputscale * k
 
 
+def _limit_gram(spec: KernelSpec, params, x1, x2):
+    """Closed-form J->inf RPA limit kernel (see LIMIT_FAMILIES note):
+    k_inf = os / sqrt(1 + ||x-x'||^2 / (D l^2)). Same MXU sqdist
+    identity and HIGHEST-precision cross term as _full_d_gram."""
+    ls = softplus(params["raw_lengthscale"])[0]  # shared scalar
+    D = x1.shape[1]
+    cross = jnp.matmul(x1, x2.T, precision=jax.lax.Precision.HIGHEST)
+    sq = (
+        jnp.sum(x1 * x1, axis=-1)[:, None]
+        + jnp.sum(x2 * x2, axis=-1)[None, :]
+        - 2.0 * cross
+    )
+    sq = jnp.maximum(sq, 0.0)
+    if x2 is x1:
+        n = x1.shape[0]
+        sq = sq * (1.0 - jnp.eye(n, dtype=sq.dtype))
+    outputscale = softplus(params["raw_outputscale"])
+    return outputscale * jax.lax.rsqrt(1.0 + sq / (D * ls * ls))
+
+
 def _projected_coords(spec: KernelSpec, params, buffers, x):
     """x (n, D) -> scaled projected coordinates (M, n), M = sum(degrees).
 
@@ -317,6 +357,8 @@ def gram(spec: KernelSpec, params, buffers, x1, x2):
     """Dense Gram matrix K(x1, x2) — (n, m)."""
     if spec.is_projection:
         return _projection_gram(spec, params, buffers, x1, x2)
+    if spec.family in LIMIT_FAMILIES:
+        return _limit_gram(spec, params, x1, x2)
     return _full_d_gram(spec, params, x1, x2)
 
 

@@ -66,6 +66,9 @@ def kernel_spec_from_dict(d: dict) -> KernelSpec:
     typ = d.get("type", "rbf")
     if typ in ("rbf", "matern12", "matern32", "matern52"):
         return KernelSpec(family=typ, ard=bool(d.get("ard", True)))
+    if typ in ("rp_limit", "rp_limit_rbf", "limit"):
+        # closed-form J->inf RPA limit (gaussian projections + RBF base)
+        return KernelSpec(family="rp_limit_rbf", ard=False)
     if typ in ("projection", "rp_poly", "polynomial_projection"):
         common = dict(
             proj_dist=d.get("proj_dist", "gaussian"),

@@ -27,7 +27,8 @@ run() {
 for spec in specs/exact_rbf.json specs/exact_matern52.json \
             specs/rp_poly_j10.json specs/rp_poly_j20.json \
             specs/rp_poly_j10_d2.json specs/rp_sphere_j20_percomp.json \
-            specs/rp_generalized_mixed.json specs/rp_learned_proj_j10.json; do
+            specs/rp_generalized_mixed.json specs/rp_generalized_mixed_ski.json \
+            specs/rp_learned_proj_j10.json specs/rp_limit.json; do
   run "$spec" $SMALL
 done
 
