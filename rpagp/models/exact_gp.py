@@ -128,7 +128,14 @@ def prepare_buffers(spec: ModelSpec, params, buffers, x_train,
                     lambda st, yy: grid_solve.build_interp_y(
                         spec.kernel, st, yy)
                 )(state, y_train))
-                buffers = {**buffers, "ski_uy": uy, "ski_u1": u1}
+                # anchored value cache: with it the grid MLL step does
+                # ZERO n-proportional work (grid_solve.build_value_cache)
+                vc = jax.block_until_ready(jax.jit(
+                    lambda st, s4, yy, u: grid_solve.build_value_cache(
+                        spec.kernel, st, s4, yy, u)
+                )(state, S4, y_train, uy))
+                buffers = {**buffers, "ski_uy": uy, "ski_u1": u1,
+                           "ski_vc": vc}
             return buffers
     if spec.precond_refresh > 1 and spec.precond_rank > 0:
         buffers = refresh_preconditioner(spec, params, buffers, x_train)

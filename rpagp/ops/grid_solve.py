@@ -194,6 +194,71 @@ def _cached_U(spec: ModelSpec, params, buffers):
     return uy
 
 
+def _anchor_q0(S4, uy):
+    """Ridge-LS anchor: (S + delta I) q0 = U^T y, (J, M). A healthy
+    ridge (the anchor need not be the exact LS solution) errs on the
+    well-conditioned side; q0 = 0 (exactly the un-anchored linear form)
+    if the factor still fails."""
+    J, M = uy.shape
+    p = J * M
+    S = S4.reshape(p, p)
+    S = 0.5 * (S + S.T)
+    delta = 1e-3 * (jnp.trace(S) / p) + 1e-12
+    Ls, ok = blocked_cholesky_safe(S + delta * jnp.eye(p, dtype=S.dtype))
+    q0 = jax.scipy.linalg.cho_solve((Ls, True), uy.reshape(p))
+    return jnp.where(ok, q0, 0.0).reshape(J, M)
+
+
+def build_value_cache(kspec, state, S4, y, uy):
+    """Per-dataset anchor for the ZERO-n-pass MLL value (r3d).
+
+    The r2k step's one remaining n-proportional op was the stable
+    inv-quad VALUE's residual pass yc^T (yc - V Gw) (~14 ms of the 43 ms
+    headline, BENCHMARKS r3c). This cache removes it: anchor the value
+    to a fixed grid vector q0 and the EXACT identity
+
+      yc^T yc - <U^T yc, Gw>
+        = a0 - mu (a1 + sy) + mu^2 n + <uy - mu u1, q0 - Gw>
+
+    holds for ANY q0 (yc = y - mu 1; a0 = y^T r, a1 = sum r, r = y - V q0,
+    sy = sum y — all cached scalars from ONE prepare-time n-pass). q0
+    only controls STABILITY: the cancellation-prone inner product now
+    rides q0 - Gw, which is small exactly in the near-interpolation
+    regime where the textbook yc^T yc - b^T C^-1 b form cancels at O(n)
+    magnitudes (module docstring). q0 is the ridge-LS grid projection of
+    y — (S + delta I) q0 = U^T y with S the interp Gram — i.e. the
+    noise->0 limit Gw approaches, so the anchor is tight precisely where
+    it must be.
+
+    Returns {"q0", "a0", "a1", "sy", "yy"}; hyperparameter-free, keyed
+    to the TRAINING y like the uy cache (build_interp_y docstring)."""
+    q0 = _anchor_q0(S4, uy)
+    Vq0 = _interp_A(kspec, state, q0[:, None, :])[:, 0]  # (n,) one n-pass
+    r = y - Vq0
+    return {
+        "q0": q0,
+        "a0": jnp.vdot(y, r),
+        "a1": jnp.sum(r),
+        "sy": jnp.sum(y),
+        "yy": jnp.vdot(y, y),
+    }
+
+
+def _anchored_iq(spec: ModelSpec, params, vc, U, Gw, n):
+    """Inv-quad numerator from the value cache: STABLE value and
+    grid-space gradient, zero n-proportional work (see
+    build_value_cache). Same straight-through structure as _resid_iq:
+    value = anchored form, gradient = d(linear form) — the two agree
+    exactly in exact arithmetic, so the surrogate gradient is exact."""
+    sg = jax.lax.stop_gradient
+    mu = (params["mean_const"] if spec.mean == "constant"
+          else jnp.zeros((), Gw.dtype))
+    lin = (vc["yy"] - 2.0 * mu * vc["sy"] + mu * mu * n) - jnp.vdot(U, Gw)
+    val = (vc["a0"] - mu * (vc["a1"] + vc["sy"]) + mu * mu * n
+           + jnp.vdot(sg(U), sg(vc["q0"] - Gw)))
+    return lin + sg(val - lin)
+
+
 def _toeplitz_blocks(kspec, kparams, state: ski.SKIState):
     """(J, m, m) full Toeplitz blocks from the first columns."""
     col = ski.toeplitz_columns(kspec, kparams, state)  # (J, m)
@@ -468,7 +533,13 @@ def grid_mll(spec: ModelSpec, params, buffers, x, y):
     b = _Gt_apply(G, U)  # (p,)
     w = jax.scipy.linalg.cho_solve((Lc, True), b)
     Gw = _G_apply(G, w)  # (J, M)
-    iq = _resid_iq(spec.kernel, state, yc, U, Gw) / noise
+    vc = buffers.get("ski_vc")
+    if vc is not None and "ski_uy" in buffers:
+        # anchored value cache: the whole step is p-space math, zero
+        # n-proportional work (build_value_cache)
+        iq = _anchored_iq(spec, params, vc, U, Gw, n) / noise
+    else:
+        iq = _resid_iq(spec.kernel, state, yc, U, Gw) / noise
     ld = (n - p) * jnp.log(noise) + 2.0 * jnp.sum(
         jnp.log(jnp.diagonal(Lc)))
     return -0.5 * (iq + ld + n * LOG_2PI)

@@ -462,10 +462,10 @@ def make_distributed_train_step(spec: ModelSpec, mesh: Mesh, optimizer,
     use_pre = spec.precond_rank > 0 and not spec.kernel.ski
 
     def grid_loss_fn(params, x_local, y_local, state_local, S4,
-                     uy=None, u1=None):
+                     uy=None, u1=None, vc=None):
         return -distributed_grid_mll(
             spec, params, x_local, y_local, state_local, S4,
-            uy=uy, u1=u1) / n_global
+            uy=uy, u1=u1, vc=vc) / n_global
 
     def loss_fn(params, buffers, x_local, y_local, eps_local,
                 Lp, Cs, ld, eps_s, ski_state_local):
@@ -501,12 +501,14 @@ def make_distributed_train_step(spec: ModelSpec, mesh: Mesh, optimizer,
 
     @jax.jit
     def step(params, buffers, opt_state, x_sharded, y_sharded, key,
-             ski_state=None, grid_gram=None, grid_uy=None, grid_u1=None):
+             ski_state=None, grid_gram=None, grid_uy=None, grid_u1=None,
+             grid_vc=None):
         if grid_gram is not None:
             # exact grid-space solver path: ski_state here is the
             # comp-REPLICATED geometry from prepare_distributed_grid;
-            # grid_uy/grid_u1 (same source, y_sharded=...) drop the
-            # per-step U^T yc interp pass + psum when present
+            # grid_uy/grid_u1/grid_vc (same source, y_sharded=...) drop
+            # the per-step U^T yc interp pass, the residual value pass,
+            # and every per-step psum when present
             cached = grid_uy is not None
 
             def vg(p, xs, ys, sst, S4, *cache):
@@ -526,13 +528,13 @@ def make_distributed_train_step(spec: ModelSpec, mesh: Mesh, optimizer,
                 vg, mesh=mesh,
                 in_specs=(P(), P(AXIS), P(AXIS),
                           _ski_state_in_specs(None), P())
-                + ((P(), P()) if cached else ()),
+                + ((P(), P(), P()) if cached else ()),
                 out_specs=(P(), P()),
                 check_vma=False,
             )
             args = (params, x_sharded, y_sharded, ski_state, grid_gram)
             if cached:
-                args = args + (grid_uy, grid_u1)
+                args = args + (grid_uy, grid_u1, grid_vc)
             loss, grads = smapped(*args)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -593,12 +595,16 @@ def prepare_distributed_grid(spec: ModelSpec, params, buffers, x_sharded,
     DATASET — (p, p) ICI traffic, paid once, like the single-chip
     buffers["ski_uu"]).
 
-    With y_sharded, returns (ski_state, S4, uy, u1) instead: uy/u1 are
-    the replicated (J, M) per-dataset caches U^T y / U^T 1 (the SPMD
+    With y_sharded, returns (ski_state, S4, uy, u1, vc) instead: uy/u1
+    are the replicated (J, M) per-dataset caches U^T y / U^T 1 (the SPMD
     mirror of grid_solve.build_interp_y — assembled by one grid-sized
-    psum each). Thread them into make_distributed_train_step's step as
-    (grid_uy, grid_u1) and the per-step U^T yc interp pass AND its psum
-    disappear (U^T yc = uy - mean_const * u1, replicated math).
+    psum each), and vc is the anchored value cache
+    (grid_solve.build_value_cache — q0 + four scalars, one more
+    per-dataset psum). Thread them into make_distributed_train_step's
+    step as (grid_uy, grid_u1, grid_vc) and the per-step U^T yc interp
+    pass, the residual value pass, AND every per-step collective
+    disappear — the training step becomes fully replicated grid-space
+    math after prepare.
 
     Unlike prepare_distributed_ski, tfrac is NOT comp-sharded: the grid
     solver's p x p Cholesky couples ALL J components, so the comp axis
@@ -606,7 +612,7 @@ def prepare_distributed_grid(spec: ModelSpec, params, buffers, x_sharded,
     replicates the grid computation; the step's psum-over-data +
     pmean-over-comp gradient assembly already accounts for that.
 
-    Returns (None, None) — or (None,) * 4 with y_sharded — when the
+    Returns (None, None) — or (None,) * 5 with y_sharded — when the
     spec doesn't run the grid solver."""
     from ..ops import grid_solve
 
@@ -614,7 +620,7 @@ def prepare_distributed_grid(spec: ModelSpec, params, buffers, x_sharded,
     n_global = x_sharded.shape[0]
     if (kspec.interp != "dense"
             or not grid_solve.use_grid_solver(spec, n_global)):
-        return (None, None) if y_sharded is None else (None,) * 4
+        return (None, None) if y_sharded is None else (None,) * 5
     out_sh = ski.SKIState(
         grid_lo=NamedSharding(mesh, P()), h=NamedSharding(mesh, P()),
         cells=NamedSharding(mesh, P()),
@@ -648,7 +654,28 @@ def prepare_distributed_grid(spec: ModelSpec, params, buffers, x_sharded,
         out_specs=(P(), P()), check_vma=False,
     ))
     uy, u1 = jax.block_until_ready(uy_fn(state, y_sharded))
-    return state, S4, uy, u1
+
+    def _vc(st_local, y_local, S4r, uyr):
+        # anchored value cache, SPMD mirror of grid_solve.build_value_
+        # cache: the q0 ridge solve is replicated p-space math; the
+        # anchor residual r = y - V q0 is one LOCAL interp pass; the
+        # four scalars merge in one stacked psum (paid once per dataset)
+        q0 = grid_solve._anchor_q0(S4r, uyr)
+        Vq0 = grid_solve._interp_A(kspec, st_local, q0[:, None, :])[:, 0]
+        r = y_local - Vq0
+        s = jax.lax.psum(
+            jnp.stack([jnp.vdot(y_local, r), jnp.sum(r),
+                       jnp.sum(y_local), jnp.vdot(y_local, y_local)]),
+            AXIS)
+        return {"q0": q0, "a0": s[0], "a1": s[1], "sy": s[2], "yy": s[3]}
+
+    vc_fn = jax.jit(jax.shard_map(
+        _vc, mesh=mesh,
+        in_specs=(_ski_state_in_specs(None), P(AXIS), P(), P()),
+        out_specs=P(), check_vma=False,
+    ))
+    vc = jax.block_until_ready(vc_fn(state, y_sharded, S4, uy))
+    return state, S4, uy, u1, vc
 
 
 def _grid_chol_fn(p: int, ndev: int, axis: str):
@@ -669,7 +696,7 @@ def _grid_chol_fn(p: int, ndev: int, axis: str):
 
 def distributed_grid_mll(spec: ModelSpec, params, x_local, y_local,
                          state_local: ski.SKIState, S4, axis: str = AXIS,
-                         uy=None, u1=None):
+                         uy=None, u1=None, vc=None):
     """EXACT grid-space Woodbury MLL on row-sharded data — the SPMD
     mirror of ops.grid_solve.grid_mll. Runs INSIDE shard_map.
 
@@ -681,7 +708,9 @@ def distributed_grid_mll(spec: ModelSpec, params, x_local, y_local,
     device. With the per-dataset (uy, u1) cache from
     prepare_distributed_grid(..., y_sharded=...), U^T yc becomes
     replicated grid-space math — the interp_T pass and its psum drop
-    out, leaving the stacked loss psum as the only per-step collective.
+    out, leaving the stacked loss psum as the only per-step collective;
+    with the anchored value cache (vc) that one drops out too and the
+    step runs with ZERO per-step collectives.
 
     Gradient-assembly contract: under check_vma=False the psum
     transpose re-psums replicated cotangents, which makes the MESH SUM
@@ -712,19 +741,28 @@ def distributed_grid_mll(spec: ModelSpec, params, x_local, y_local,
     b = grid_solve._Gt_apply(G, U)
     w = jax.scipy.linalg.cho_solve((Lc, True), b)
     Gw = grid_solve._G_apply(G, w)
-    # Stable-value / grid-space-gradient inv-quad, the SPMD mirror of
-    # grid_solve._resid_iq: the local residual pass runs value-only
-    # (stop_gradient — no interp_transpose adjoint), the gradient rides
-    # the replicated linear form <U^T yc, Gw>; one psum merges the two
-    # scalar shares (value numerator, local |yc|^2).
-    sg = jax.lax.stop_gradient
-    Vw = grid_solve._interp_A(spec.kernel, state_local,
-                              sg(Gw)[:, None, :])[:, 0]
-    s_val = jnp.vdot(sg(yc), sg(yc) - Vw)  # local yc^T (yc - Vw) share
-    s_sq = jnp.vdot(yc, yc)
-    ss = jax.lax.psum(jnp.stack([s_val, s_sq]), axis)
-    lin = ss[1] - jnp.vdot(U, Gw)
-    iq = (lin + sg(ss[0] - lin)) / noise
+    if vc is not None and uy is not None:
+        # anchored value cache (grid_solve.build_value_cache): the
+        # inv-quad is fully replicated grid-space math — with the
+        # (uy, u1, vc) caches this step has NO per-step collective at
+        # all (the factor runs replicated; gradients assemble via the
+        # caller's pmean exactly as before)
+        iq = grid_solve._anchored_iq(spec, params, vc, U, Gw, n) / noise
+    else:
+        # Stable-value / grid-space-gradient inv-quad, the SPMD mirror
+        # of grid_solve._resid_iq: the local residual pass runs
+        # value-only (stop_gradient — no interp_transpose adjoint), the
+        # gradient rides the replicated linear form <U^T yc, Gw>; one
+        # stacked psum merges the two scalar shares (value numerator,
+        # local |yc|^2).
+        sg = jax.lax.stop_gradient
+        Vw = grid_solve._interp_A(spec.kernel, state_local,
+                                  sg(Gw)[:, None, :])[:, 0]
+        s_val = jnp.vdot(sg(yc), sg(yc) - Vw)  # local yc^T (yc-Vw) share
+        s_sq = jnp.vdot(yc, yc)
+        ss = jax.lax.psum(jnp.stack([s_val, s_sq]), axis)
+        lin = ss[1] - jnp.vdot(U, Gw)
+        iq = (lin + sg(ss[0] - lin)) / noise
     ld = (n - p) * jnp.log(noise) + 2.0 * jnp.sum(
         jnp.log(jnp.diagonal(Lc)))
     return -0.5 * (iq + ld + n * LOG_2PI)

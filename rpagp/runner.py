@@ -198,7 +198,8 @@ def _run_split_distributed(exp: ExperimentSpec, x, y, xt, yt, seed: int,
     # exact grid-space solver when the spec dispatches to it (comp-
     # replicated geometry + replicated U^T U Gram + U^T y / U^T 1
     # per-dataset caches), else the BBMM path
-    ski_state, grid_gram, grid_uy, grid_u1 = sharding.prepare_distributed_grid(
+    (ski_state, grid_gram, grid_uy, grid_u1,
+     grid_vc) = sharding.prepare_distributed_grid(
         spec, params, buffers, xs, mesh, y_sharded=ys)
     if grid_gram is None:
         # SKI geometry is hyperparameter-free: build once per dataset
@@ -221,7 +222,8 @@ def _run_split_distributed(exp: ExperimentSpec, x, y, xt, yt, seed: int,
         key, k = jax.random.split(key)
         params_prev = params
         params, opt_state, loss = step(params, buffers, opt_state, xs, ys, k,
-                                       ski_state, grid_gram, grid_uy, grid_u1)
+                                       ski_state, grid_gram, grid_uy,
+                                       grid_u1, grid_vc)
         if i == 0:
             _warn_if_frozen(params_prev, params)
         loss = float(loss)

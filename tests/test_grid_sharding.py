@@ -256,9 +256,9 @@ def test_distributed_grid_uy_cache_parity():
     ys = sharding.shard_rows(y, mesh)
     params_r = sharding.replicate(params, mesh)
     buffers_r = sharding.replicate(buffers, mesh)
-    state, S4, uy, u1 = sharding.prepare_distributed_grid(
+    state, S4, uy, u1, vc = sharding.prepare_distributed_grid(
         spec, params_r, buffers_r, xs, mesh, y_sharded=ys)
-    assert uy is not None and u1 is not None
+    assert uy is not None and u1 is not None and vc is not None
 
     opt = optax.adam(0.05)
     step = sharding.make_distributed_train_step(spec, mesh, opt,
@@ -274,7 +274,7 @@ def test_distributed_grid_uy_cache_parity():
         return p, losses
 
     p0, l0 = run()
-    p1, l1 = run(uy, u1)
+    p1, l1 = run(uy, u1, vc)
     np.testing.assert_allclose(l1, l0, rtol=1e-5)
     # params: one f32 rounding in U^T yc, amplified by Adam's
     # grad/sqrt(v) rescaling over 3 steps — roundoff, not bias

@@ -249,6 +249,28 @@ def test_mll_unprepared_buffers_still_routes_to_grid():
                for l in jax.tree.leaves(g))
 
 
+def test_grid_mll_anchored_value_near_noise_floor():
+    """The anchored (zero-n-pass) value cache in the regime it exists
+    for: near interpolation, where the un-anchored grid-space form
+    cancels at O(n) magnitudes. With the full cache the MLL value and
+    gradient must still track the dense oracle."""
+    spec, params, buffers, x, y = _setup(n=400, J=3, m=24)
+    params = {**params, "mean_const": jnp.asarray(0.25, jnp.float32),
+              "raw_noise": jnp.asarray(inv_softplus(2e-4), jnp.float32)}
+    bufc = exact_gp.prepare_buffers(
+        spec, params, dict(kernel=buffers["kernel"]), x, y_train=y)
+    assert "ski_vc" in bufc
+    v, g = jax.value_and_grad(
+        lambda p: grid_solve.grid_mll(spec, p, bufc, x, y))(params)
+    assert np.isfinite(float(v))
+    vo = _oracle_mll(spec, params, buffers, x, y, eps=spec.grid_jitter)
+    assert abs(float(v - vo)) / abs(float(vo)) < 5e-3
+    go = jax.grad(
+        lambda p: _oracle_mll(spec, p, buffers, x, y,
+                              eps=spec.grid_jitter))(params)
+    assert _grad_relerr(g, go) < 5e-3
+
+
 def test_grid_mll_mixed_base_matches_explicit_oracle():
     """Mixed-BASE degree-1 SKI (the generalized-kernel family) through
     the exact grid solver. The oracle computes every T_j column with
