@@ -106,22 +106,34 @@ def main():
     # amortized cost
     default_iters = refresh if refresh > 1 else 5
     iters = int(os.environ.get("RPAGP_BENCH_ITERS", default_iters))
-    t0 = time.perf_counter()
-    losses = []
-    for i in range(iters):
-        if refresh > 1 and i % refresh == 0:
-            buffers = exact_gp.refresh_preconditioner(spec, params,
-                                                      buffers, x)
-        key, k = jax.random.split(key)
-        loss, grads = step(params, buffers, x, y, k)
-        losses.append(loss)
-    # sync ONCE after all dispatches: a single-chip queue executes in
-    # order, so the final transfer covers every step. Per-step float()
-    # added the ~23.5 ms axon-tunnel RTT to EVERY iteration (measured
-    # 2026-08-18: 91 ms/step per-step-synced vs 66.5 ms amortized for
-    # the identical program) — that is transport latency, not step cost.
-    _ = [float(l) for l in losses]
-    dt = (time.perf_counter() - t0) / iters
+    # MEDIAN over timed batches: back-to-back single-batch runs swing
+    # 38-63 ms with axon-tunnel / shared-chip load drift (BENCHMARKS
+    # r3d); the median of several short batches inside one process is
+    # the drift-robust estimate an interleaved A/B converges to.
+    batches = int(os.environ.get("RPAGP_BENCH_BATCHES", 4))
+    # pre-split the per-step keys OUTSIDE the timed region: each
+    # jax.random.split is an extra device-op dispatch per iteration, and
+    # on the axon tunnel dispatch latency is not free
+    keys = list(jax.random.split(key, batches * iters))
+    batch_ms = []
+    for bi in range(batches):
+        t0 = time.perf_counter()
+        losses = []
+        for i in range(iters):
+            if refresh > 1 and i % refresh == 0:
+                buffers = exact_gp.refresh_preconditioner(spec, params,
+                                                          buffers, x)
+            loss, grads = step(params, buffers, x, y, keys[bi * iters + i])
+            losses.append(loss)
+        # sync ONCE after all dispatches: a single-chip queue executes
+        # in order, so the final transfer covers every step. Per-step
+        # float() added the ~23.5 ms axon-tunnel RTT to EVERY iteration
+        # (measured 2026-08-18: 91 ms/step per-step-synced vs 66.5 ms
+        # amortized for the identical program) — transport latency, not
+        # step cost.
+        _ = [float(l) for l in losses]
+        batch_ms.append((time.perf_counter() - t0) / iters)
+    dt = sorted(batch_ms)[len(batch_ms) // 2]
 
     print(
         json.dumps(
