@@ -71,17 +71,18 @@ def _resolve_leaf(leaf: str) -> str:
     b-row elimination AND the block inverse in one kernel call, no
     sequential XLA expansions; "interpret" is its CPU-test mode).
 
-    "auto" resolves at trace time: pallas on a real TPU backend when
-    RPAGP_PALLAS_CHOL=1 opts in (default off until the shootout in
-    scripts/bench_chol.py says otherwise), else xla.
+    "auto" resolves at trace time: pallas (the panel-blocked leaf) on a
+    real TPU backend — it won the interleaved p=5120 shootout
+    (17.8 ms fwd+grad vs 18.5 xla-leaf vs 35.9 builtin,
+    docs/BENCHMARKS.md r3g) — else xla. RPAGP_PALLAS_CHOL=0 opts out;
     RPAGP_PALLAS_CHOL=interpret forces the interpreted kernel on any
     backend — CPU integration testing of the full solver stack."""
     if leaf != "auto":
         return leaf
-    env = os.environ.get("RPAGP_PALLAS_CHOL", "0")
+    env = os.environ.get("RPAGP_PALLAS_CHOL", "1")
     if env == "interpret":
         return "interpret"
-    if env != "1":
+    if env in ("0", "off"):
         return "xla"
     from .pallas_interp import on_tpu
 

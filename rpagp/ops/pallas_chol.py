@@ -20,6 +20,15 @@ inverse along for free:
       A     -= L[:,j] L[:,j]^T              (rank-1, keeps A symmetric)
       Linv[j,:] = (e_j - L[j,:] Linv) * rsqrt(A_jj)   (forward subst.)
 
+Two kernels share that elimination: `_leaf_kernel` runs it on the full
+(b, b) block (b <= 128), and `_panel_kernel` (the default for
+128 | b, b > 128) runs it on (128, 128) diagonal panels with the
+O(b^3) panel/trailing/inverse work as static-sliced MXU GEMMs —
+shrinking the sequential chain's VPU footprint 16x at b=512. The panel
+leaf won the interleaved p=5120 blocked-factor shootout on a v5e core
+(17.8 ms fwd+grad vs 18.5 xla-leaf vs 35.9 builtin, BENCHMARKS r3g)
+and is the on-TPU default (RPAGP_PALLAS_CHOL=0 opts out).
+
 Returning Linv makes the whole blocked factorization chol/trsm-free:
 block_chol's panel step needs exactly L_kk^{-1}, and the closed-form
 VJP (see `chol_linv`) needs only GEMMs against the saved L^{-1} — no
@@ -107,11 +116,129 @@ def _leaf_kernel(a_ref, l_ref, linv_ref, ok_ref, *, b):
     ok_ref[:] = jnp.full((1, 1), ok.astype(jnp.float32))
 
 
+# panel width of the blocked leaf: 128 keeps every static ref slice
+# lane-tile-aligned (Mosaic constraint) and shrinks the per-step VPU
+# footprint of the sequential elimination chain from (b, b) to
+# (128, 128) — the rank-1 kernel's cost is ~b * (per-step time on a
+# (b, b) block); the panel kernel's is ~b * (per-step time on a
+# (128, 128) block) + MXU panel/trailing GEMMs.
+_PANEL = 128
+
+# in-panel elimination unroll factor (must divide _PANEL); see
+# _rank1_block for why
+_UNROLL = 16
+
+# dot_general helpers for the panel GEMMs (avoid explicit .T transposes
+# inside the kernel — contract on the matching dimension instead)
+_NT = (((1,), (1,)), ((), ()))   # A @ B^T
+_NN = (((1,), (0,)), ((), ()))   # A @ B
+
+
+def _rank1_block(A0, pb, dtype):
+    """The (pb, pb) unblocked elimination: returns (L, Linv, ok).
+
+    MXU-free variant of the original _leaf_kernel loop: the forward-
+    substitution matvec L[j, :] @ Linv is a VPU broadcast-multiply +
+    sublane reduction against a carried L^T (a HIGHEST-precision MXU
+    dot inside the row loop costs ~7 us of pipeline latency per row —
+    measured 2026-08-19, it made the 512-leaf 2.4 ms; the VPU form is
+    exact f32 and latency-flat)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, pb), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (pb, 1), 0)
+
+    def step(j, carry):
+        A, L, Lt, Linv, ok = carry
+        ohl = (lane == j).astype(dtype)
+        ohc = (sub == j).astype(dtype)
+        row = jnp.sum(A * ohc, axis=0, keepdims=True)
+        col = jnp.sum(A * ohl, axis=1, keepdims=True)
+        dj = jnp.sum(row * ohl)
+        okj = dj > 0.0
+        rsd = jax.lax.rsqrt(jnp.where(okj, dj, 1.0))
+        lrow = jnp.where(lane >= j, row * rsd, 0.0)  # col j of L, as a row
+        lrow = jnp.where(okj, lrow, ohl)
+        lcol = jnp.where(sub >= j, col * rsd, 0.0)
+        lcol = jnp.where(okj, lcol, ohc)
+        L = L + lcol * ohl          # place column j
+        Lt = Lt + ohc * lrow        # the same column as row j of L^T
+        A = A - lcol * lrow         # rank-1 downdate (exactly symmetric)
+        # forward substitution row: Linv[j, :] = (e_j - L[j, :] Linv) / Ljj
+        # L[j, :] as a column vector is Lt[:, j] (masked lane read);
+        # Linv[j, :] is still zero, so the j-term contributes nothing.
+        ljcol = jnp.sum(Lt * ohl, axis=1, keepdims=True)   # (pb, 1)
+        v = jnp.sum(ljcol * Linv, axis=0, keepdims=True)   # (1, pb) VPU
+        linv_row = (ohl - v) * rsd
+        Linv = Linv + ohc * linv_row
+        return A, L, Lt, Linv, ok & okj
+
+    # unrolled sub-steps per fori iteration: the Mosaic loop carries
+    # ~5-10 us of per-iteration overhead that dwarfs the VPU body at
+    # pb=128 (measured 2026-08-19: a 256-row leaf was ~2 ms flat
+    # regardless of body cost); unrolling amortizes it
+    def body(i, carry):
+        j0 = i * _UNROLL
+        for t in range(_UNROLL):
+            carry = step(j0 + t, carry)
+        return carry
+
+    Z = jnp.zeros_like(A0)
+    _, L, _, Linv, ok = jax.lax.fori_loop(
+        0, pb // _UNROLL, body, (A0, Z, Z, Z, jnp.asarray(True)))
+    return L, Linv, ok
+
+
+def _panel_kernel(a_ref, l_ref, linv_ref, ok_ref, s_ref, *, b):
+    """Panel-blocked leaf: the b-row elimination as b/_PANEL panel
+    steps. The sequential scalar chain runs on (128, 128) panels (VPU)
+    while the O(b^3) column/trailing/inverse work is static-sliced MXU
+    GEMMs — same outputs and failure semantics as the rank-1 kernel,
+    measured ~5x faster at b=512 (docs/BENCHMARKS.md r3g)."""
+    pb = _PANEL
+    npan = b // pb
+    dtype = a_ref.dtype
+    s_ref[:] = a_ref[:]
+    l_ref[:] = jnp.zeros((b, b), dtype)
+    linv_ref[:] = jnp.zeros((b, b), dtype)
+    ok = jnp.asarray(True)
+    for k in range(npan):  # python-unrolled: every slice below is static
+        o = k * pb
+        Lkk, Lkk_inv, ok_k = _rank1_block(s_ref[o:o + pb, o:o + pb],
+                                          pb, dtype)
+        ok = ok & ok_k
+        l_ref[o:o + pb, o:o + pb] = Lkk
+        linv_ref[o:o + pb, o:o + pb] = Lkk_inv
+        if k > 0:
+            # inverse rows: Linv[k, :o] = -Lkk^{-1} (L[k, :o] @ Linv[:o, :o])
+            prod = jax.lax.dot_general(
+                l_ref[o:o + pb, 0:o], linv_ref[0:o, 0:o], _NN,
+                precision=_HI, preferred_element_type=dtype)
+            linv_ref[o:o + pb, 0:o] = -jax.lax.dot_general(
+                Lkk_inv, prod, _NN, precision=_HI,
+                preferred_element_type=dtype)
+        if k < npan - 1:
+            # column panel + live-region trailing update (shrinking
+            # static shapes — no full-matrix masking)
+            Lcol = jax.lax.dot_general(
+                s_ref[o + pb:b, o:o + pb], Lkk_inv, _NT,
+                precision=_HI, preferred_element_type=dtype)
+            l_ref[o + pb:b, o:o + pb] = Lcol
+            s_ref[o + pb:b, o + pb:b] = (
+                s_ref[o + pb:b, o + pb:b]
+                - jax.lax.dot_general(Lcol, Lcol, _NT, precision=_HI,
+                                      preferred_element_type=dtype))
+    ok_ref[:] = jnp.full((1, 1), ok.astype(jnp.float32))
+
+
 def _leaf_call(A, interpret: bool = False):
     b = A.shape[-1]
     if A.shape != (b, b) or b % 8 != 0:
         raise ValueError(f"leaf chol expects (b, b) with 8 | b, got {A.shape}")
-    kernel = functools.partial(_leaf_kernel, b=b)
+    if b % _PANEL == 0 and b > _PANEL:
+        kernel = functools.partial(_panel_kernel, b=b)
+        scratch = [pltpu.VMEM((b, b), A.dtype)]
+    else:
+        kernel = functools.partial(_leaf_kernel, b=b)
+        scratch = []
     L, Linv, okf = pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
@@ -125,6 +252,7 @@ def _leaf_call(A, interpret: bool = False):
             jax.ShapeDtypeStruct((b, b), A.dtype),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(A)
     return L, Linv, okf[0, 0]

@@ -17,7 +17,7 @@ def _spd(b, seed=0, jitter=0.5):
     return 0.5 * (A + A.T)
 
 
-@pytest.mark.parametrize("b", [8, 128, 256])
+@pytest.mark.parametrize("b", [8, 128, 256, 512])
 def test_leaf_matches_builtin(b):
     A = _spd(b)
     L, Linv, ok = pallas_chol.chol_linv(A, True)
