@@ -52,8 +52,9 @@ import jax.numpy as jnp
 
 from ..models import exact_gp
 from ..models.exact_gp import ModelSpec
-from ..ops import kernels, ski, ski_product
-from ..ops.block_chol import (blocked_cholesky, blocked_cholesky_safe,
+from ..ops import kernels, pallas_chol, ski, ski_product
+from ..ops.block_chol import (_resolve_leaf as block_chol_resolve_leaf,
+                              blocked_cholesky, blocked_cholesky_safe,
                               blocked_solve_triangular)
 from ..ops.exact import LOG_2PI
 from ..ops.kernels import _component_scales
@@ -301,6 +302,22 @@ def _chol_ladder(T, eps0):
     mults = jnp.asarray(_LADDER, T.dtype)
     nlev = len(_LADDER)
 
+    # batched-factor implementation: the Pallas leaf (one kernel
+    # dispatch for all J blocks, per-block ok flags, GEMM-only VJP)
+    # replaces XLA's batched chol + trsm-pair VJP when enabled — the
+    # same auto/opt-out switch as the p x p factor (block_chol).
+    leaf = block_chol_resolve_leaf("auto")
+    use_pallas = (leaf in ("pallas", "interpret")
+                  and pallas_chol.batch_supported(m))
+
+    def probe_chol(Te):
+        if use_pallas:
+            _, _, okf = pallas_chol.chol_linv_batched(
+                Te, leaf == "interpret")
+            return okf > 0.5
+        L = jnp.linalg.cholesky(Te)
+        return jnp.all(jnp.isfinite(L), axis=(-2, -1))
+
     def cond(c):
         k, chosen, done = c
         return (k < nlev) & ~jnp.all(done)
@@ -308,15 +325,18 @@ def _chol_ladder(T, eps0):
     def body(c):
         k, chosen, done = c
         e = eps0 * mults[k]
-        L = jnp.linalg.cholesky(Ts + e[..., None, None] * eye)
-        ok = jnp.all(jnp.isfinite(L), axis=(-2, -1))
+        ok = probe_chol(Ts + e[..., None, None] * eye)
         chosen = jnp.where(ok & ~done, e, chosen)
         return k + 1, chosen, done | ok
 
     init = (jnp.asarray(0), eps0 * mults[-1],
             jnp.zeros(T.shape[0], bool))
     _, chosen, _ = jax.lax.while_loop(cond, body, init)
-    L = jnp.linalg.cholesky(T + chosen[..., None, None] * eye)
+    Tj = T + chosen[..., None, None] * eye
+    if use_pallas:
+        L, _, _ = pallas_chol.chol_linv_batched(Tj, leaf == "interpret")
+    else:
+        L = jnp.linalg.cholesky(Tj)
     return L, chosen
 
 

@@ -303,3 +303,32 @@ def _chol_linv_bwd(interpret, res, cts):
 
 
 chol_linv.defvjp(_chol_linv_fwd, _chol_linv_bwd)
+
+
+# batched-path size cap: each grid program holds 5 (m, m) f32 VMEM
+# buffers (A, L, Linv, scratch, +headroom) — 5 MB at m=512 against the
+# ~16 MB/core VMEM budget; beyond that fall back to XLA's batched chol
+_BATCH_MAX_B = 512
+
+
+def batch_supported(b: int) -> bool:
+    """Whether chol_linv_batched can run blocks of size b."""
+    return b % 8 == 0 and b <= _BATCH_MAX_B
+
+
+def chol_linv_batched(T, interpret: bool = False):
+    """(L, Linv, ok) for a BATCH of symmetric blocks T (J, b, b).
+
+    vmap over the single-block kernel: Pallas lifts the batch axis to a
+    grid dimension, so all J eliminations run as J programs of ONE
+    kernel dispatch — replacing XLA's batched chol (a sequential
+    per-column chain per block, ~6 ms for (20, 256, 256) at flagship,
+    docs/BENCHMARKS.md r3h) and, through the closed-form VJP, the
+    batched trsm pair of its gradient. ok is (J,) f32 per-block flags —
+    exactly the jitter ladder's per-block escalation signal
+    (ops/grid_solve._chol_ladder).
+    """
+    if T.ndim != 3 or not batch_supported(T.shape[-1]):
+        raise ValueError(f"chol_linv_batched expects (J, b, b) with 8 | b "
+                         f"<= {_BATCH_MAX_B}, got {T.shape}")
+    return jax.vmap(lambda A: chol_linv(A, interpret))(T)

@@ -121,6 +121,80 @@ def test_blocked_cholesky_nan_contract_with_pallas_leaf():
     assert not bool(jnp.all(jnp.isfinite(L)))
 
 
+def test_batched_leaf_matches_builtin():
+    """chol_linv_batched: values vs the builtin batched chol, per-block
+    ok flags (one indefinite block must flag WITHOUT poisoning the
+    others), finite primals throughout."""
+    J, b = 4, 128
+    T = jnp.stack([_spd(b, seed=s) for s in range(J)])
+    T = T.at[2].add(-10.0 * jnp.eye(b))  # block 2 indefinite
+    L, Linv, okf = pallas_chol.chol_linv_batched(T, True)
+    ok = np.asarray(okf) > 0.5
+    np.testing.assert_array_equal(ok, [True, True, False, True])
+    assert bool(jnp.all(jnp.isfinite(L))) and bool(jnp.all(jnp.isfinite(Linv)))
+    want = jnp.linalg.cholesky(T)
+    for j in (0, 1, 3):
+        np.testing.assert_allclose(np.asarray(L[j]), np.asarray(want[j]),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(L[j] @ Linv[j]), np.eye(b),
+                                   rtol=0, atol=5e-5)
+
+
+def test_batched_leaf_gradient_matches_builtin():
+    """Batched VJP parity with autodiff through builtin chol, reached
+    through a symmetrized input map (the symmetric-cotangent convention,
+    see chol_linv docstring)."""
+    J, b = 3, 64
+    T0 = jnp.stack([_spd(b, seed=10 + s) for s in range(J)])
+    R = jax.random.normal(jax.random.key(9), (J, b, b), jnp.float32)
+
+    def sym(T):
+        return 0.5 * (T + jnp.swapaxes(T, -1, -2))
+
+    def loss_pallas(T):
+        L, _, _ = pallas_chol.chol_linv_batched(sym(T), True)
+        return jnp.vdot(L, R) + 2.0 * jnp.sum(
+            jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)))
+
+    def loss_ref(T):
+        L = jnp.linalg.cholesky(sym(T))
+        return jnp.vdot(L, R) + 2.0 * jnp.sum(
+            jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)))
+
+    v1, g1 = jax.value_and_grad(loss_pallas)(T0)
+    v2, g2 = jax.value_and_grad(loss_ref)(T0)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_chol_ladder_pallas_matches_xla(monkeypatch):
+    """grid_solve._chol_ladder with the batched Pallas factor: same
+    factor and same chosen jitters as the XLA path, including a block
+    that needs escalation."""
+    from rpagp.ops import grid_solve
+
+    J, m = 3, 128
+    T = jnp.stack([_spd(m, seed=20 + s, jitter=0.5) for s in range(J)])
+    # block 1 barely indefinite: forces at least one ladder escalation
+    w, V = jnp.linalg.eigh(T[1])
+    w = w.at[0].set(-1e-3)
+    T = T.at[1].set(V @ jnp.diag(w) @ V.T)
+    T = 0.5 * (T + jnp.swapaxes(T, -1, -2))
+    eps0 = 1e-4 * T[:, 0, 0]
+
+    monkeypatch.delenv("RPAGP_PALLAS_CHOL", raising=False)
+    L_x, eps_x = grid_solve._chol_ladder(T, eps0)
+    monkeypatch.setenv("RPAGP_PALLAS_CHOL", "interpret")
+    L_p, eps_p = grid_solve._chol_ladder(T, eps0)
+
+    np.testing.assert_allclose(np.asarray(eps_p), np.asarray(eps_x),
+                               rtol=1e-6)
+    assert float(eps_p[1]) > float(eps0[1])  # escalation engaged
+    np.testing.assert_allclose(np.asarray(L_p), np.asarray(L_x),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_grid_mll_with_pallas_leaf_integration(monkeypatch):
     """End-to-end: the exact grid-space MLL (value AND gradient) with
     the Pallas leaf engaged through _chol_with_fallback's auto path
