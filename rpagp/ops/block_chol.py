@@ -65,6 +65,48 @@ _HI = jax.lax.Precision.HIGHEST
 _BLOCK = 512
 
 
+def _resolve_tri() -> int:
+    """Leaf size (in block units) of the triangular trailing update;
+    0 disables it (full-square P @ P^T updates, the r2h..r3g behavior).
+
+    The elimination loop never READS the trailing matrix's upper
+    triangle (blk and the panel are lower-triangle slices), so the
+    full-square update wastes ~2x the syrk flops. `_syrk_tril`
+    recursively row-splits the update and computes only the block
+    lower triangle (leaves of `tri` x block rows stay full-square GEMMs
+    to keep the MXU fed): at flagship p=5120/b=512 the executed update
+    flops drop ~35% (sum over the shrinking trailing chain), and the
+    autodiff VJP inherits the same saving. RPAGP_TRI_UPDATE sets the
+    leaf size; 0/off restores full-square updates."""
+    env = os.environ.get("RPAGP_TRI_UPDATE", "2")
+    if env in ("off", "false"):
+        return 0
+    return max(0, int(env))
+
+
+def _syrk_tril(T22, P, block, min_blocks):
+    """T22 - P @ P^T with only the block LOWER triangle guaranteed
+    (strictly-upper blocks above the split points are zero-filled).
+    Every output element that IS computed is the same b-length dot
+    product as in the full-square update, so values match it exactly
+    elementwise; only the upper-triangle garbage differs."""
+    r = T22.shape[0]
+    nb = r // block
+    if nb <= min_blocks:
+        return T22 - jnp.matmul(P, P.T, precision=_HI,
+                                preferred_element_type=T22.dtype)
+    h = (nb // 2) * block
+    top = _syrk_tril(T22[:h, :h], P[:h], block, min_blocks)
+    bl = T22[h:, :h] - jnp.matmul(P[h:], P[:h].T, precision=_HI,
+                                  preferred_element_type=T22.dtype)
+    bot = _syrk_tril(T22[h:, h:], P[h:], block, min_blocks)
+    z = jnp.zeros((h, r - h), T22.dtype)
+    return jnp.concatenate([
+        jnp.concatenate([top, z], axis=1),
+        jnp.concatenate([bl, bot], axis=1),
+    ], axis=0)
+
+
 def _resolve_leaf(leaf: str) -> str:
     """Diagonal-block factor implementation: "xla" (builtin chol +
     triangular solve) or "pallas" (ops/pallas_chol.py — the whole
@@ -136,11 +178,17 @@ def _elimination(A, block, sanitize, leaf="xla"):
     (the cotangent of the not-taken branch is zero, and zero times a
     FINITE primal is zero)."""
     nb = A.shape[0] // block
+    tri = _resolve_tri()
     cols = []
     T = A
     ok = jnp.asarray(True)
     for k in range(nb):
         blk = T[:block, :block]
+        if tri and k > 0:
+            # the tri update zero-fills upper-triangle blocks; leaves
+            # that read both triangles (pallas) need the diagonal block
+            # re-symmetrized. b x b — negligible next to the GEMMs.
+            blk = jnp.tril(blk) + jnp.tril(blk, -1).T
         Lkk, Linv, okk = _diag_factor(blk, sanitize, leaf,
                                       need_linv=k < nb - 1)
         ok = ok & okk
@@ -148,8 +196,12 @@ def _elimination(A, block, sanitize, leaf="xla"):
             P = jnp.matmul(T[block:, :block], Linv.T, precision=_HI,
                            preferred_element_type=A.dtype)
             colk = jnp.concatenate([Lkk, P], axis=0)
-            T = T[block:, block:] - jnp.matmul(
-                P, P.T, precision=_HI, preferred_element_type=A.dtype)
+            T22 = T[block:, block:]
+            if tri:
+                T = _syrk_tril(T22, P, block, tri)
+            else:
+                T = T22 - jnp.matmul(
+                    P, P.T, precision=_HI, preferred_element_type=A.dtype)
         else:
             colk = Lkk
         # zeros above the diagonal block keep L exactly lower-triangular
