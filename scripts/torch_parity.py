@@ -210,11 +210,47 @@ def train_adam_torch(X, y, P=None, iters=150, lr=0.1, jitter=1e-6,
 
 
 # ---------------------------------------------------------------------------
+# torch SVGP oracle (whitened Hensman ELBO — [U] gp_models/models.py
+# SVGPRegressionModel over [G] gpytorch VariationalStrategy; conventions
+# matched to rpagp.models.svgp: C = tril(raw,-1) + diag(softplus(diag)),
+# K_MM jitter = 10 * ModelSpec.jitter, var clamp 1e-10, noise floor 1e-4)
+# ---------------------------------------------------------------------------
+
+
+def svgp_elbo_torch(X, y, p, P, n_total, jitter_mm):
+    """Whitened-parameterization SVGP evidence lower bound, full batch.
+
+    p carries raw_lengthscale/raw_outputscale/raw_noise/mean_const plus
+    inducing (M, D), var_mean (M,), var_chol (M, M) raw lower factor."""
+    Z = p["inducing"]
+    M = Z.shape[0]
+    Kmm = _gram_torch(Z, Z, p, P) + jitter_mm * torch.eye(M, dtype=X.dtype)
+    L = torch.linalg.cholesky(Kmm)
+    Kxz = _gram_torch(X, Z, p, P)  # (n, M)
+    A = torch.linalg.solve_triangular(L, Kxz.t(), upper=False)  # (M, n)
+    raw = p["var_chol"]
+    C = torch.tril(raw, -1) + torch.diag(_sp(torch.diagonal(raw)))
+    vm = p["var_mean"]
+    mean = A.t() @ vm + p["mean_const"]
+    CA = C.t() @ A  # (M, n)
+    kdiag = _sp(p["raw_outputscale"]) * torch.ones(X.shape[0], dtype=X.dtype)
+    var = kdiag - (A**2).sum(0) + (CA**2).sum(0)
+    var = var.clamp_min(1e-10)
+    noise = _sp(p["raw_noise"]) + NOISE_FLOOR
+    lik = -0.5 * (LOG_2PI + torch.log(noise) + (y - mean) ** 2 / noise)
+    lik = lik - 0.5 * var / noise
+    lik_term = (n_total / X.shape[0]) * lik.sum()
+    kl = 0.5 * ((C**2).sum() + vm @ vm - M
+                - 2.0 * torch.log(torch.diagonal(C)).sum())
+    return lik_term - kl
+
+
+# ---------------------------------------------------------------------------
 # the rpagp side + comparison driver
 # ---------------------------------------------------------------------------
 
 
-def _rpagp_model(prob, spec_kind, m=None):
+def _rpagp_model(prob, spec_kind, m=None, spec_kw=None):
     """Build the rpagp (spec, params, buffers, x, y, xt, yt) for a shared
     problem, injecting the SHARED projection and raw hypers."""
     import jax
@@ -231,7 +267,7 @@ def _rpagp_model(prob, spec_kind, m=None):
     D = X.shape[1]
     if spec_kind == "rbf":
         kspec = KernelSpec(family="rbf", ard=True)
-    elif spec_kind == "rpa":
+    elif spec_kind in ("rpa", "bbmm"):
         J = prob["P"].shape[1]
         kspec = KernelSpec.polynomial(J=J, d=1, base="rbf")
     elif spec_kind == "ski":
@@ -241,7 +277,9 @@ def _rpagp_model(prob, spec_kind, m=None):
     else:
         raise ValueError(spec_kind)
     spec = ModelSpec(kernel=kspec,
-                     max_cholesky_size=(0 if spec_kind == "ski" else 10**9))
+                     max_cholesky_size=(0 if spec_kind in ("ski", "bbmm")
+                                        else 10**9),
+                     **(spec_kw or {}))
     params, buffers = exact_gp.init_model(jax.random.key(0), spec, D)
     if prob["P"] is not None:
         buffers = dict(buffers)
