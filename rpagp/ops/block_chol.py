@@ -79,9 +79,17 @@ def _resolve_tri() -> int:
     autodiff VJP inherits the same saving. RPAGP_TRI_UPDATE sets the
     leaf size; 0/off restores full-square updates."""
     env = os.environ.get("RPAGP_TRI_UPDATE", "2")
-    if env in ("off", "false"):
+    if env.lower() in ("off", "false", "no"):
         return 0
-    return max(0, int(env))
+    try:
+        return max(0, int(env))
+    except ValueError:
+        import warnings
+
+        warnings.warn(
+            f"RPAGP_TRI_UPDATE={env!r} is not an integer or off/false/no;"
+            " using the default leaf size 2", stacklevel=2)
+        return 2
 
 
 def _syrk_tril(T22, P, block, min_blocks):
@@ -185,9 +193,14 @@ def _elimination(A, block, sanitize, leaf="xla"):
     for k in range(nb):
         blk = T[:block, :block]
         if tri and k > 0:
-            # the tri update zero-fills upper-triangle blocks; leaves
-            # that read both triangles (pallas) need the diagonal block
-            # re-symmetrized. b x b — negligible next to the GEMMs.
+            # Defensive invariant guarantee, not a correction: diagonal
+            # blocks are always computed full-square inside a _syrk_tril
+            # leaf (the zero-filled rectangles are strictly block-upper
+            # and never land on a future diagonal), so blk's upper
+            # triangle is already valid. The tril+tril.T pins the
+            # "both-triangles-readable" contract for leaves that read
+            # the full block (pallas), independent of future _syrk_tril
+            # edits. b x b — negligible next to the GEMMs.
             blk = jnp.tril(blk) + jnp.tril(blk, -1).T
         Lkk, Linv, okk = _diag_factor(blk, sanitize, leaf,
                                       need_linv=k < nb - 1)
