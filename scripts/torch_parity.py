@@ -404,6 +404,336 @@ def trained_parity(spec_kind, n=400, D=6, J=10, m=32, iters=150, lr=0.1,
     }
 
 
+# ---------------------------------------------------------------------------
+# config 3: the BBMM CG+SLQ estimator family vs the torch f64 oracle
+# ---------------------------------------------------------------------------
+
+_BBMM_TIGHT = dict(cg_max_iters=400, cg_tol=1e-10, precond_rank=15,
+                   num_probes=64)
+
+
+def bbmm_mll_parity(n=2048, D=8, J=8, seed=0, seeds=(3, 4, 5)):
+    """Config-3 matched-params check: rpagp's iterative_mll — the BBMM
+    CG + pivoted-Cholesky + SLQ stack (ops/cg.py, ops/precond.py,
+    ops/slq.py, ops/iterative.py custom_vjp; rebuild of
+    [G] gpytorch/utils/linear_cg.py / stochastic_lq.py /
+    functions/_inv_quad_log_det.py) at TIGHT knobs — against the torch
+    f64 DENSE Cholesky MLL of the same model (the estimand; jitter=0
+    because the iterative A = K + noise I carries no explicit jitter).
+
+    The estimator is stochastic (SLQ probes): returns per-seed values,
+    the torch value, and (mean-of-seeds, worst-seed) relative errors."""
+    import jax
+
+    from rpagp.ops import iterative
+
+    prob = make_problem(n, D, J=J, seed=seed)
+    spec, params, buffers, X, y, _, _ = _rpagp_model(
+        prob, "bbmm", spec_kw=_BBMM_TIGHT)
+    vals = [
+        float(iterative.iterative_mll(spec, params, buffers, X, y,
+                                      jax.random.key(s)))
+        for s in seeds
+    ]
+    pt = _torch_params(prob, torch.float64)
+    v_t = float(chol_mll_torch(
+        torch.tensor(prob["X"], dtype=torch.float64),
+        torch.tensor(prob["y"], dtype=torch.float64), pt,
+        torch.tensor(prob["P"], dtype=torch.float64), jitter=0.0))
+    rel_mean = abs(sum(vals) / len(vals) - v_t) / abs(v_t)
+    rel_worst = max(abs(v - v_t) for v in vals) / abs(v_t)
+    return vals, v_t, rel_mean, rel_worst
+
+
+_BBMM_GRAD_ORDER = ("raw_lengthscale", "raw_outputscale", "raw_noise",
+                    "mean_const")
+
+
+def _flat_rpagp_grad(g, order):
+    import numpy as _np
+
+    flat = []
+    for k in order:
+        v = g["kernel"][k] if k in g.get("kernel", {}) else g[k]
+        flat.append(_np.ravel(_np.asarray(v, _np.float64)))
+    return _np.concatenate(flat)
+
+
+def _flat_torch_grad(p, order):
+    return np.concatenate(
+        [np.ravel(np.asarray(p[k].grad.detach(), np.float64))
+         for k in order])
+
+
+def bbmm_grad_parity(n=1024, D=8, J=8, seed=0, seeds=(7, 8, 9)):
+    """Gradient-direction check for the config-3 custom_vjp: the probe
+    trace-estimator gradient of iterative_mll vs the torch f64 autograd
+    gradient of the dense Cholesky MLL, flattened in one canonical
+    order. Returns (per-seed cosines, rel error of the seed-mean)."""
+    import jax
+
+    from rpagp.ops import iterative
+
+    prob = make_problem(n, D, J=J, seed=seed)
+    spec, params, buffers, X, y, _, _ = _rpagp_model(
+        prob, "bbmm", spec_kw=_BBMM_TIGHT)
+
+    pt = {k: torch.tensor(v, dtype=torch.float64, requires_grad=True)
+          for k, v in prob["raw"].items()}
+    loss = chol_mll_torch(
+        torch.tensor(prob["X"], dtype=torch.float64),
+        torch.tensor(prob["y"], dtype=torch.float64), pt,
+        torch.tensor(prob["P"], dtype=torch.float64), jitter=0.0)
+    loss.backward()
+    g_t = _flat_torch_grad(pt, _BBMM_GRAD_ORDER)
+
+    cosines, gs = [], []
+    for s in seeds:
+        g = jax.grad(
+            lambda p: iterative.iterative_mll(spec, p, buffers, X, y,
+                                              jax.random.key(s))
+        )(params)
+        gj = _flat_rpagp_grad(g, _BBMM_GRAD_ORDER)
+        cosines.append(float(
+            gj @ g_t / (np.linalg.norm(gj) * np.linalg.norm(g_t))))
+        gs.append(gj)
+    gm = np.mean(gs, axis=0)
+    rel_mean = float(np.linalg.norm(gm - g_t) / np.linalg.norm(g_t))
+    return cosines, rel_mean
+
+
+def bbmm_trained_parity(n=1200, D=8, J=8, iters=60, lr=0.1, seed=0):
+    """End-to-end config 3: rpagp trains through the STOCHASTIC BBMM MLL
+    (fresh probe key every step, the reference's behavior); torch trains
+    the same model through its f32 dense-Cholesky MLL. The trajectories
+    are NOT step-identical (probe noise jitters the rpagp gradient), so
+    the comparison is the trained test RMSE/NLL band — the quantity the
+    reference's CSV records."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from rpagp.models import exact_gp
+    from rpagp.ops import iterative
+    from rpagp.ops.exact import gaussian_nll
+    from rpagp.train import train_to_convergence
+
+    prob = make_problem(n, D, J=J, seed=seed)
+    spec_kw = dict(cg_max_iters=100, cg_tol=1e-6, precond_rank=15,
+                   num_probes=32)
+    spec, params0, buffers, X, y, Xt, yt = _rpagp_model(
+        prob, "bbmm", spec_kw=spec_kw)
+    params0 = {
+        "raw_noise": jnp.zeros((), jnp.float32),
+        "mean_const": jnp.zeros((), jnp.float32),
+        "kernel": {
+            "raw_lengthscale": jnp.zeros_like(
+                params0["kernel"]["raw_lengthscale"]),
+            "raw_outputscale": jnp.zeros((), jnp.float32),
+        },
+    }
+    nloc = X.shape[0]
+    loss_fn = lambda p, b, xx, yy, k: -iterative.iterative_mll(
+        spec, p, b, xx, yy, k) / nloc
+    res = train_to_convergence(
+        loss_fn, params0, max_iters=iters, patience=10**9, rel_tol=0.0,
+        optimizer=optax.adam(lr), key=jax.random.key(seed + 1),
+        loss_args=(buffers, X, y))
+    mu, var = iterative.iterative_posterior(
+        spec, res.params, buffers, X, y, Xt, var_chunk=64, var_tol=1e-4)
+    rmse_j = float(jnp.sqrt(jnp.mean((mu - yt) ** 2)))
+    nll_j = float(gaussian_nll(yt, mu, var))
+
+    dt = torch.float32
+    pT, losses_t = train_adam_torch(
+        torch.tensor(prob["X"], dtype=dt),
+        torch.tensor(prob["y"], dtype=dt),
+        torch.tensor(prob["P"], dtype=dt), iters=iters, lr=lr, jitter=0.0)
+    mu_t, var_t = predict_torch(
+        torch.tensor(prob["X"], dtype=dt),
+        torch.tensor(prob["y"], dtype=dt),
+        torch.tensor(prob["Xt"], dtype=dt), pT,
+        torch.tensor(prob["P"], dtype=dt), jitter=0.0)
+    rmse_t, nll_t = rmse_nll(torch.tensor(prob["yt"], dtype=dt), mu_t,
+                             var_t)
+    return {
+        "rmse_rpagp": rmse_j, "rmse_torch": rmse_t,
+        "nll_rpagp": nll_j, "nll_torch": nll_t,
+        "final_loss_rpagp": res.losses[-1],
+        "final_loss_torch": losses_t[-1],
+        "d_rmse": abs(rmse_j - rmse_t), "d_nll": abs(nll_j - nll_t),
+    }
+
+
+# ---------------------------------------------------------------------------
+# SVGP: whitened Hensman ELBO vs the torch f64 oracle
+# ---------------------------------------------------------------------------
+
+_SVGP_GRAD_ORDER = ("raw_lengthscale", "raw_outputscale", "raw_noise",
+                    "mean_const", "inducing", "var_mean", "var_chol")
+
+
+def _make_svgp_problem(n, D, J, M, seed=0, n_test=64):
+    """Shared problem + SVGP variational state (numpy, same bits both
+    sides). Variational raws are offset from init so the KL and the
+    whitening transforms are all exercised."""
+    prob = make_problem(n, D, J=J, seed=seed)
+    rng = np.random.RandomState(seed + 100)
+    idx = rng.choice(n, M, replace=False)
+    prob["svgp"] = {
+        "inducing": prob["X"][idx].copy(),
+        "var_mean": 0.3 * rng.randn(M),
+        "var_chol": (np.tril(0.1 * rng.randn(M, M), -1)
+                     + np.diag(0.2 * rng.randn(M))),
+    }
+    return prob
+
+
+def _rpagp_svgp(prob):
+    """rpagp (spec, params, buffers, X, y, Xt, yt) at the shared state."""
+    import jax
+    import jax.numpy as jnp
+
+    from rpagp.models import svgp
+    from rpagp.models.exact_gp import ModelSpec
+    from rpagp.ops.kernels import KernelSpec
+
+    X = jnp.asarray(prob["X"], jnp.float32)
+    y = jnp.asarray(prob["y"], jnp.float32)
+    J = prob["P"].shape[1]
+    spec = ModelSpec(kernel=KernelSpec.polynomial(J=J, d=1, base="rbf"))
+    M = prob["svgp"]["inducing"].shape[0]
+    params, buffers = svgp.init_svgp_params(jax.random.key(0), spec, X, M)
+    buffers = dict(buffers)
+    buffers["kernel"] = {"proj": jnp.asarray(prob["P"], jnp.float32)}
+    raw, sv = prob["raw"], prob["svgp"]
+    params = {
+        "raw_noise": jnp.asarray(raw["raw_noise"], jnp.float32),
+        "mean_const": jnp.asarray(raw["mean_const"], jnp.float32),
+        "kernel": {
+            "raw_lengthscale": jnp.asarray(raw["raw_lengthscale"],
+                                           jnp.float32),
+            "raw_outputscale": jnp.asarray(raw["raw_outputscale"],
+                                           jnp.float32),
+        },
+        "inducing": jnp.asarray(sv["inducing"], jnp.float32),
+        "var_mean": jnp.asarray(sv["var_mean"], jnp.float32),
+        "var_chol": jnp.asarray(sv["var_chol"], jnp.float32),
+    }
+    return spec, params, buffers, X, y
+
+
+def _torch_svgp_params(prob, dtype, requires_grad=False):
+    out = {k: torch.tensor(v, dtype=dtype, requires_grad=requires_grad)
+           for k, v in prob["raw"].items()}
+    for k, v in prob["svgp"].items():
+        out[k] = torch.tensor(v, dtype=dtype, requires_grad=requires_grad)
+    return out
+
+
+def svgp_elbo_parity(n=600, D=6, J=6, M=32, seed=0):
+    """Matched-params whitened-ELBO value AND gradient parity: rpagp
+    svgp.elbo (f32) vs svgp_elbo_torch (f64) at identical data,
+    projection, hyper + variational state. Both sides are deterministic
+    (full-batch ELBO) — agreement to f32 roundoff, no estimator-noise
+    excuse. Returns (v_rpagp, v_torch, rel_err, grad_cosine)."""
+    import jax
+
+    from rpagp.models import svgp
+
+    prob = _make_svgp_problem(n, D, J, M, seed=seed)
+    spec, params, buffers, X, y = _rpagp_svgp(prob)
+    v_r, g_r = jax.value_and_grad(
+        lambda p: svgp.elbo(spec, p, buffers, X, y, n))(params)
+
+    pt = _torch_svgp_params(prob, torch.float64, requires_grad=True)
+    v_t = svgp_elbo_torch(
+        torch.tensor(prob["X"], dtype=torch.float64),
+        torch.tensor(prob["y"], dtype=torch.float64), pt,
+        torch.tensor(prob["P"], dtype=torch.float64), n,
+        jitter_mm=spec.jitter * 10.0)
+    v_t.backward()
+    g_t = _flat_torch_grad(pt, _SVGP_GRAD_ORDER)
+    gj = _flat_rpagp_grad(g_r, _SVGP_GRAD_ORDER)
+    cos = float(gj @ g_t / (np.linalg.norm(gj) * np.linalg.norm(g_t)))
+    vt = float(v_t.detach())
+    rel = abs(float(v_r) - vt) / abs(vt)
+    return float(v_r), vt, rel, cos
+
+
+def svgp_trained_parity(n=500, D=6, J=6, M=24, iters=120, lr=0.05,
+                        seed=0):
+    """End-to-end SVGP: full-batch Adam on -ELBO/n from the shared init
+    in both codebases (full batch -> both trajectories deterministic
+    and step-comparable, same arithmetic class f32), then test RMSE/NLL
+    from each side's predictive marginals."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from rpagp.models import svgp
+    from rpagp.ops.exact import gaussian_nll
+
+    prob = _make_svgp_problem(n, D, J, M, seed=seed)
+    spec, params, buffers, X, y = _rpagp_svgp(prob)
+    Xt = jnp.asarray(prob["Xt"], jnp.float32)
+    yt = jnp.asarray(prob["yt"], jnp.float32)
+
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+    loss_fn = jax.jit(jax.value_and_grad(
+        lambda p: -svgp.elbo(spec, p, buffers, X, y, n) / n))
+    losses_j = []
+    for _ in range(iters):
+        loss, grads = loss_fn(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        losses_j.append(float(loss))
+    mu, var = svgp.svgp_predict(spec, params, buffers, Xt)
+    rmse_j = float(jnp.sqrt(jnp.mean((mu - yt) ** 2)))
+    nll_j = float(gaussian_nll(yt, mu, var))
+
+    dt = torch.float32
+    pt = _torch_svgp_params(prob, dt, requires_grad=True)
+    Xt32 = torch.tensor(prob["X"], dtype=dt)
+    yt32 = torch.tensor(prob["y"], dtype=dt)
+    P32 = torch.tensor(prob["P"], dtype=dt)
+    optT = torch.optim.Adam(pt.values(), lr=lr)
+    losses_t = []
+    jmm = spec.jitter * 10.0
+    for _ in range(iters):
+        optT.zero_grad()
+        loss = -svgp_elbo_torch(Xt32, yt32, pt, P32, n, jitter_mm=jmm) / n
+        loss.backward()
+        optT.step()
+        losses_t.append(float(loss.detach()))
+    with torch.no_grad():
+        # torch predictive marginals: same whitened q(f) formula
+        Z = pt["inducing"]
+        Mn = Z.shape[0]
+        Kmm = _gram_torch(Z, Z, pt, P32) + jmm * torch.eye(Mn, dtype=dt)
+        L = torch.linalg.cholesky(Kmm)
+        Xq = torch.tensor(prob["Xt"], dtype=dt)
+        Kxz = _gram_torch(Xq, Z, pt, P32)
+        A = torch.linalg.solve_triangular(L, Kxz.t(), upper=False)
+        raw = pt["var_chol"]
+        C = torch.tril(raw, -1) + torch.diag(_sp(torch.diagonal(raw)))
+        mu_t = A.t() @ pt["var_mean"] + pt["mean_const"]
+        CA = C.t() @ A
+        kdiag = _sp(pt["raw_outputscale"]) * torch.ones(Xq.shape[0],
+                                                        dtype=dt)
+        var_t = (kdiag - (A**2).sum(0) + (CA**2).sum(0)).clamp_min(1e-10)
+        var_t = var_t + _sp(pt["raw_noise"]) + NOISE_FLOOR
+    rmse_t, nll_t = rmse_nll(torch.tensor(prob["yt"], dtype=dt), mu_t,
+                             var_t)
+    return {
+        "rmse_rpagp": rmse_j, "rmse_torch": rmse_t,
+        "nll_rpagp": nll_j, "nll_torch": nll_t,
+        "final_loss_rpagp": losses_j[-1], "final_loss_torch": losses_t[-1],
+        "d_rmse": abs(rmse_j - rmse_t), "d_nll": abs(nll_j - nll_t),
+    }
+
+
 def main():
     import jax
 
@@ -435,6 +765,34 @@ def main():
         rows.append((label, "test NLL",
                      f"{r['nll_rpagp']:.5f}", f"{r['nll_torch']:.5f}",
                      f"{r['d_nll']:.2e}"))
+    vals, v_t, rel_mean, rel_worst = bbmm_mll_parity()
+    rows.append(("config 3: BBMM CG+SLQ tight knobs (n=2048, 3 seeds)",
+                 "mll@matched-params",
+                 f"{sum(vals)/len(vals):.4f} (seed-mean)",
+                 f"{v_t:.4f}", f"{rel_mean:.2e} / worst {rel_worst:.2e}"))
+    cosines, g_rel = bbmm_grad_parity()
+    rows.append(("config 3: BBMM gradient vs f64 oracle (n=1024)",
+                 "grad cosine / seed-mean rel",
+                 f"min cos {min(cosines):.6f}", "1.0 (oracle)",
+                 f"{g_rel:.2e}"))
+    r = bbmm_trained_parity()
+    rows.append(("config 3 trained (60 Adam iters, stochastic MLL)",
+                 "test RMSE", f"{r['rmse_rpagp']:.5f}",
+                 f"{r['rmse_torch']:.5f}", f"{r['d_rmse']:.2e}"))
+    rows.append(("config 3 trained (60 Adam iters, stochastic MLL)",
+                 "test NLL", f"{r['nll_rpagp']:.5f}",
+                 f"{r['nll_torch']:.5f}", f"{r['d_nll']:.2e}"))
+    v_r, v_t, rel, cos = svgp_elbo_parity()
+    rows.append(("SVGP: whitened ELBO (n=600, M=32)",
+                 "elbo@matched-params", f"{v_r:.4f}", f"{v_t:.4f}",
+                 f"{rel:.2e} (grad cos {cos:.6f})"))
+    r = svgp_trained_parity()
+    rows.append(("SVGP trained (120 full-batch Adam iters)",
+                 "test RMSE", f"{r['rmse_rpagp']:.5f}",
+                 f"{r['rmse_torch']:.5f}", f"{r['d_rmse']:.2e}"))
+    rows.append(("SVGP trained (120 full-batch Adam iters)",
+                 "test NLL", f"{r['nll_rpagp']:.5f}",
+                 f"{r['nll_torch']:.5f}", f"{r['d_nll']:.2e}"))
     print("| config | quantity | rpagp | torch oracle | |delta| (rel for mll) |")
     print("|---|---|---|---|---|")
     for row in rows:

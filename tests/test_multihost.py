@@ -46,7 +46,8 @@ def _child_env():
     return env
 
 
-def _launch(num_processes: int, local_devices: int, out: str, steps=20):
+def _launch(num_processes: int, local_devices: int, out: str, steps=20,
+            mode="grid"):
     port = _free_port()
     procs = [
         subprocess.Popen(
@@ -54,7 +55,7 @@ def _launch(num_processes: int, local_devices: int, out: str, steps=20):
              "--process_id", str(i), "--num_processes", str(num_processes),
              "--coordinator", f"127.0.0.1:{port}",
              "--local_devices", str(local_devices),
-             "--steps", str(steps),
+             "--steps", str(steps), "--mode", mode,
              "--out", out if i == 0 else ""],
             env=_child_env(), cwd=_REPO,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
@@ -102,3 +103,35 @@ def test_two_process_trajectory_matches_single_process(tmp_path):
     pa = _flat_params(ref["params"])
     pb = _flat_params(two["params"])
     np.testing.assert_allclose(pb, pa, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_two_process_bbmm_collectives_match_single_process(tmp_path):
+    """The collective-HEAVY paths across a real process boundary (r3
+    verdict weak #4): the grid step has had zero per-step collectives
+    since r3d, so the original test never pushed a per-step psum through
+    Gloo. BBMM mode runs sharded_pcg (one psum pair per CG iteration,
+    every training step) and one distributed_posterior call; 2 procs x 4
+    devices must reproduce the 1 proc x 8 devices trajectory AND
+    posterior within f32 reduction-order bands."""
+    ref = _launch(1, 8, str(tmp_path / "bb1.json"), steps=6, mode="bbmm")
+    two = _launch(2, 4, str(tmp_path / "bb2.json"), steps=6, mode="bbmm")
+
+    assert ref["mode"] == two["mode"] == "bbmm"
+    assert ref["ndev_global"] == 8 and two["ndev_global"] == 8
+    assert two["num_processes"] == 2
+
+    la, lb = np.asarray(ref["losses"]), np.asarray(two["losses"])
+    assert la.shape == lb.shape and np.all(np.isfinite(lb))
+    assert lb[-1] < lb[0] - 1e-3  # training must actually move
+    np.testing.assert_allclose(lb, la, rtol=1e-4, atol=1e-5)
+
+    pa = _flat_params(ref["params"])
+    pb = _flat_params(two["params"])
+    np.testing.assert_allclose(pb, pa, rtol=1e-4, atol=1e-5)
+
+    mua, mub = np.asarray(ref["post_mu"]), np.asarray(two["post_mu"])
+    vaa, vab = np.asarray(ref["post_var"]), np.asarray(two["post_var"])
+    assert np.all(np.isfinite(mub)) and np.all(vab > 0)
+    np.testing.assert_allclose(mub, mua, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(vab, vaa, rtol=1e-3, atol=1e-4)

@@ -264,3 +264,25 @@ def test_grid_rank():
     kspec1 = KernelSpec.polynomial(J=3, d=1, base="rbf", ski=True,
                                    grid_size=8)
     assert ski_product.grid_rank(kspec1) == 24
+
+
+def test_grid_posterior_cov_product_diag_consistent():
+    """grid_posterior_cov on a PRODUCT spec (the dispatch helpers carry
+    it through _posterior_factor/_test_interp_rows): the covariance
+    diagonal must match grid_posterior's variance (same factor, same
+    exact-kernel diag), and the matrix must be symmetric with bounded
+    off-diagonal (PSD up to f32 rounding)."""
+    spec, params, buffers, x, y = _setup(n=300, J=2, d=2, m=12)
+    xt = x[:24] + 0.01
+    mu_c, cov = grid_solve.grid_posterior_cov(
+        spec, params, buffers, x, y, xt, observation_noise=False)
+    mu_v, var = grid_solve.grid_posterior(
+        spec, params, buffers, x, y, xt, observation_noise=False)
+    np.testing.assert_allclose(np.asarray(mu_c), np.asarray(mu_v),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.diag(np.asarray(cov)), np.asarray(var),
+                               atol=1e-4, rtol=1e-3)
+    c = np.asarray(cov)
+    np.testing.assert_allclose(c, c.T, atol=1e-6)
+    w = np.linalg.eigvalsh(c.astype(np.float64))
+    assert w.min() > -1e-4, w.min()
