@@ -64,3 +64,62 @@ def test_trained_parity_ski_grid_end_to_end():
     assert r["d_rmse"] < 1e-3, r
     assert r["d_nll"] < 1e-3, r
     assert abs(r["final_loss_rpagp"] - r["final_loss_torch"]) < 1e-3, r
+
+
+def test_svgp_elbo_matched_params():
+    """SVGP (the last model family with no cross-codebase row until r4):
+    whitened Hensman ELBO at identical data/projection/hyper/variational
+    state — rpagp f32 vs the torch f64 oracle. Both deterministic;
+    measured rel 1.4e-7 and grad cosine 1 - 3e-11 (bands 50x above)."""
+    v_r, v_t, rel, cos = tp.svgp_elbo_parity(n=600, D=6, J=6, M=32)
+    assert rel < 1e-5, (v_r, v_t)
+    assert cos > 0.9999, cos
+
+
+def test_svgp_trained_parity_end_to_end():
+    """End-to-end SVGP: full-batch Adam from the shared init in both
+    codebases (deterministic trajectories, same f32 class); trained test
+    RMSE/NLL and final loss within the driver band (measured ~1e-6)."""
+    r = tp.svgp_trained_parity(n=500, D=6, J=6, M=24, iters=120)
+    assert r["d_rmse"] < 1e-3, r
+    assert r["d_nll"] < 1e-3, r
+    assert abs(r["final_loss_rpagp"] - r["final_loss_torch"]) < 1e-3, r
+
+
+@pytest.mark.slow
+def test_bbmm_mll_matched_params():
+    """Config 3 (the BBMM CG+SLQ estimator stack — ops/cg.py,
+    ops/precond.py, ops/slq.py, ops/iterative.py custom_vjp) at TIGHT
+    knobs vs the torch f64 dense-Cholesky MLL: the estimator is
+    stochastic, so the band is per-seed SLQ noise (measured at this
+    config: seed-mean 1.5e-4 rel, worst seed 8.7e-4; larger-n numbers in
+    BASELINE.md r4 are tighter). Seed-mean must sit inside the 1e-3
+    driver band."""
+    vals, v_t, rel_mean, rel_worst = tp.bbmm_mll_parity(
+        n=1024, J=8, seeds=(3, 4, 5))
+    assert rel_mean < 7.5e-4, (vals, v_t, rel_mean)
+    assert rel_worst < 3e-3, (vals, v_t, rel_worst)
+
+
+@pytest.mark.slow
+def test_bbmm_gradient_direction_vs_f64_oracle():
+    """The custom_vjp probe trace-estimator gradient must point at the
+    f64 autograd gradient of the dense-Cholesky MLL (measured cosines
+    0.9984/0.9996 at this config; seed-mean rel 0.07 = O(1/sqrt t)
+    probe noise)."""
+    cosines, rel_mean = tp.bbmm_grad_parity(n=768, J=8, seeds=(7, 8))
+    assert min(cosines) > 0.99, cosines
+    assert rel_mean < 0.25, rel_mean
+
+
+@pytest.mark.slow
+def test_bbmm_trained_parity_end_to_end():
+    """End-to-end config 3: rpagp trains through the STOCHASTIC BBMM MLL
+    (fresh probes per step, the reference's training contract), torch
+    through its f32 dense-Cholesky MLL; trained test RMSE/NLL within a
+    band reflecting the probe noise in the trajectory (measured 2.9e-4 /
+    5.2e-4 at this config, 1.3e-4 / 3.5e-4 at n=1200/60 iters —
+    BASELINE.md r4 table records the inside-driver-band numbers)."""
+    r = tp.bbmm_trained_parity(n=800, iters=40)
+    assert r["d_rmse"] < 1.5e-3, r
+    assert r["d_nll"] < 2e-3, r
