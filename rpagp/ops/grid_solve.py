@@ -47,14 +47,15 @@ The BBMM path remains (ModelSpec.solver = "bbmm") for p ~ n regimes.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from ..models import exact_gp
 from ..models.exact_gp import ModelSpec
 from ..ops import kernels, pallas_chol, ski, ski_product
-from ..ops.block_chol import (_resolve_leaf as block_chol_resolve_leaf,
-                              blocked_cholesky, blocked_cholesky_safe,
+from ..ops.block_chol import (blocked_cholesky, blocked_cholesky_safe,
                               blocked_solve_triangular)
 from ..ops.exact import LOG_2PI
 from ..ops.kernels import _component_scales
@@ -327,18 +328,22 @@ def _chol_ladder(T, eps0):
     mults = jnp.asarray(_LADDER, T.dtype)
     nlev = len(_LADDER)
 
-    # batched-factor implementation: the Pallas leaf (one kernel
-    # dispatch for all J blocks, per-block ok flags, GEMM-only VJP)
-    # replaces XLA's batched chol + trsm-pair VJP when enabled — the
-    # same auto/opt-out switch as the p x p factor (block_chol).
-    leaf = block_chol_resolve_leaf("auto")
-    use_pallas = (leaf in ("pallas", "interpret")
+    # batched-factor implementation: the batched Pallas leaf LOST its
+    # interleaved on-chip A/B at the flagship ladder shape (20, 256,
+    # 256) — fwd 5.07 vs 4.24 ms, f+g 8.46 vs 7.61 (docs/BENCHMARKS.md
+    # r4b) — so XLA's batched chol is the default here.
+    # RPAGP_PALLAS_LADDER=1 opts back in on TPU ("interpret" = CPU
+    # integration testing). This switch covers ONLY the (J, m, m)
+    # T-ladder factor; the p x p factor's panel leaf keeps its measured
+    # r3g default (block_chol / RPAGP_PALLAS_CHOL).
+    ladder_env = os.environ.get("RPAGP_PALLAS_LADDER", "0")
+    use_pallas = (ladder_env in ("1", "interpret")
                   and pallas_chol.batch_supported(m))
 
     def probe_chol(Te):
         if use_pallas:
             _, _, okf = pallas_chol.chol_linv_batched(
-                Te, leaf == "interpret")
+                Te, ladder_env == "interpret")
             return okf > 0.5
         L = jnp.linalg.cholesky(Te)
         return jnp.all(jnp.isfinite(L), axis=(-2, -1))
@@ -359,7 +364,8 @@ def _chol_ladder(T, eps0):
     _, chosen, _ = jax.lax.while_loop(cond, body, init)
     Tj = T + chosen[..., None, None] * eye
     if use_pallas:
-        L, _, _ = pallas_chol.chol_linv_batched(Tj, leaf == "interpret")
+        L, _, _ = pallas_chol.chol_linv_batched(
+            Tj, ladder_env == "interpret")
     else:
         L = jnp.linalg.cholesky(Tj)
     return L, chosen

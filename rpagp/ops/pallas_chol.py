@@ -321,12 +321,18 @@ def chol_linv_batched(T, interpret: bool = False):
 
     vmap over the single-block kernel: Pallas lifts the batch axis to a
     grid dimension, so all J eliminations run as J programs of ONE
-    kernel dispatch — replacing XLA's batched chol (a sequential
-    per-column chain per block, ~6 ms for (20, 256, 256) at flagship,
-    docs/BENCHMARKS.md r3h) and, through the closed-form VJP, the
-    batched trsm pair of its gradient. ok is (J,) f32 per-block flags —
+    kernel dispatch, and the closed-form VJP replaces the batched trsm
+    pair of XLA's chol gradient. ok is (J,) f32 per-block flags —
     exactly the jitter ladder's per-block escalation signal
     (ops/grid_solve._chol_ladder).
+
+    Measured on chip at the flagship ladder shape (20, 256, 256): this
+    LOSES to XLA's batched chol — fwd 5.07 vs 4.24 ms, f+g 8.46 vs
+    7.61 ms, interleaved medians (docs/BENCHMARKS.md r4b; the panel
+    kernel's per-program chain doesn't amortize across a batch the way
+    it does inside the p x p factor). It is therefore OPT-IN for the
+    ladder (RPAGP_PALLAS_LADDER=1), kept as a tested vehicle and for
+    its per-block ok flags.
     """
     if T.ndim != 3 or not batch_supported(T.shape[-1]):
         raise ValueError(f"chol_linv_batched expects (J, b, b) with 8 | b "

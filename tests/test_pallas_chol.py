@@ -183,9 +183,9 @@ def test_chol_ladder_pallas_matches_xla(monkeypatch):
     T = 0.5 * (T + jnp.swapaxes(T, -1, -2))
     eps0 = 1e-4 * T[:, 0, 0]
 
-    monkeypatch.delenv("RPAGP_PALLAS_CHOL", raising=False)
+    monkeypatch.delenv("RPAGP_PALLAS_LADDER", raising=False)
     L_x, eps_x = grid_solve._chol_ladder(T, eps0)
-    monkeypatch.setenv("RPAGP_PALLAS_CHOL", "interpret")
+    monkeypatch.setenv("RPAGP_PALLAS_LADDER", "interpret")
     L_p, eps_p = grid_solve._chol_ladder(T, eps0)
 
     np.testing.assert_allclose(np.asarray(eps_p), np.asarray(eps_x),
