@@ -302,49 +302,50 @@ def _toeplitz_blocks(kspec, kparams, state: ski.SKIState):
 _LADDER = (1.0, 3.162278, 10.0, 31.62278, 100.0, 1000.0)
 
 
-def _chol_ladder(T, eps0):
-    """Per-block minimal-jitter batched Cholesky of T + eps I.
+def _resolve_ladder_fast() -> str:
+    """Mode of the ladder's factor-first fast path: "" (off — the XLA
+    probe ladder runs unconditionally), "pallas" (compiled batched
+    leaf), or "interpret" (CPU integration testing).
 
-    The ladder probe runs entirely on stop_gradient values: which jitter
-    level to use is a DISCRETE algorithmic choice (no gradient), and the
+    RPAGP_PALLAS_LADDER: "auto" (default — fast path on a real TPU
+    backend only; on CPU the XLA ladder is both correct and faster than
+    an interpreted kernel), "1" force, "interpret" force-interpreted,
+    "0"/"off" disable."""
+    env = os.environ.get("RPAGP_PALLAS_LADDER", "auto")
+    if env.lower() in ("0", "off", "false", "no"):
+        return ""
+    if env == "interpret":
+        return "interpret"
+    if env == "1":
+        return "pallas"
+    from .pallas_interp import on_tpu
+
+    return "pallas" if on_tpu() else ""
+
+
+def _chol_ladder_xla(T, eps0, eye):
+    """The probe ladder: per-block minimal-jitter choice via a
+    lax.while_loop of stop-gradient XLA chols (ONE chol lowering, early
+    exit at the first level where every block factors — a python ladder
+    compiled 6 separate chols and near-tripled the flagship compile
+    time), then one differentiable chol at the chosen levels.
+
+    The probe runs entirely on stop_gradient values: which jitter level
+    to use is a DISCRETE algorithmic choice (no gradient), and the
     final differentiable chol is finite by construction (same values,
     same algorithm as the probe level that passed). This avoids the
     0 * NaN cotangent poisoning a where() over failed chols would cause
-    — and equally rules out a "factor first, cond on failure" fast
-    path: a differentiable chol computed OUTSIDE the cond has a NaN
-    primal when escalation engages, and even the zero cotangent of the
-    untaken branch turns into NaN gradients through it (measured:
-    tests/test_grid_solve.py flagship-conditioning test).
-    The probe is a lax.while_loop (ONE chol lowering, early exit at the
-    first level where every block factors) — a python ladder compiled
-    6 separate chols and near-tripled the flagship compile time.
-
-    eps0: (J,) absolute base jitters (relative jitter x block diagonal).
-    Returns (L, eps_used)."""
-    m = T.shape[-1]
-    eye = jnp.eye(m, dtype=T.dtype)
+    — with the NaN-propagating XLA chol, a "factor first, cond on
+    failure" fast path is impossible: a differentiable chol computed
+    OUTSIDE the cond has a NaN primal when escalation engages, and even
+    the zero cotangent of the untaken branch turns into NaN gradients
+    through it (measured: tests/test_grid_solve.py
+    flagship-conditioning test)."""
     Ts = jax.lax.stop_gradient(T)
-    eps0 = jax.lax.stop_gradient(eps0)
     mults = jnp.asarray(_LADDER, T.dtype)
     nlev = len(_LADDER)
 
-    # batched-factor implementation: the batched Pallas leaf LOST its
-    # interleaved on-chip A/B at the flagship ladder shape (20, 256,
-    # 256) — fwd 5.07 vs 4.24 ms, f+g 8.46 vs 7.61 (docs/BENCHMARKS.md
-    # r4b) — so XLA's batched chol is the default here.
-    # RPAGP_PALLAS_LADDER=1 opts back in on TPU ("interpret" = CPU
-    # integration testing). This switch covers ONLY the (J, m, m)
-    # T-ladder factor; the p x p factor's panel leaf keeps its measured
-    # r3g default (block_chol / RPAGP_PALLAS_CHOL).
-    ladder_env = os.environ.get("RPAGP_PALLAS_LADDER", "0")
-    use_pallas = (ladder_env in ("1", "interpret")
-                  and pallas_chol.batch_supported(m))
-
     def probe_chol(Te):
-        if use_pallas:
-            _, _, okf = pallas_chol.chol_linv_batched(
-                Te, ladder_env == "interpret")
-            return okf > 0.5
         L = jnp.linalg.cholesky(Te)
         return jnp.all(jnp.isfinite(L), axis=(-2, -1))
 
@@ -362,13 +363,48 @@ def _chol_ladder(T, eps0):
     init = (jnp.asarray(0), eps0 * mults[-1],
             jnp.zeros(T.shape[0], bool))
     _, chosen, _ = jax.lax.while_loop(cond, body, init)
-    Tj = T + chosen[..., None, None] * eye
-    if use_pallas:
-        L, _, _ = pallas_chol.chol_linv_batched(
-            Tj, ladder_env == "interpret")
-    else:
-        L = jnp.linalg.cholesky(Tj)
-    return L, chosen
+    return jnp.linalg.cholesky(T + chosen[..., None, None] * eye), chosen
+
+
+def _chol_ladder(T, eps0):
+    """Per-block minimal-jitter batched Cholesky of T + eps I.
+
+    FAST PATH (on-TPU default): ONE differentiable
+    `pallas_chol.chol_linv_batched` call at the base jitter. Its
+    finite-primal failure contract (per-block ok flags, garbage-but-
+    finite factors) is exactly what makes factor-first sound here —
+    when any block fails, lax.cond discards L0 (a zero cotangent times
+    FINITE primals stays zero, the blocked_cholesky_safe argument) and
+    the XLA probe ladder takes over. This halves the common-path factor
+    count (the r4b two-call pallas ladder LOST its A/B precisely
+    because it still probed-then-factored: two kernel dispatches per
+    step) and swaps the batched-trsm chol VJP for chol_linv's GEMM-only
+    closed form. The fast path's level choice is eps0 itself — the same
+    level-0 choice the probe ladder makes whenever it succeeds, so
+    engaged-fallback telemetry (`factor_diagnostics`) reads identically.
+
+    eps0: (J,) absolute base jitters (relative jitter x block diagonal).
+    Returns (L, eps_used)."""
+    m = T.shape[-1]
+    eye = jnp.eye(m, dtype=T.dtype)
+    eps0 = jax.lax.stop_gradient(eps0)
+    fast = _resolve_ladder_fast() if pallas_chol.batch_supported(m) else ""
+    if not fast:
+        return _chol_ladder_xla(T, eps0, eye)
+
+    L0, _, okf = pallas_chol.chol_linv_batched(
+        T + eps0[..., None, None] * eye, fast == "interpret")
+
+    def use_fast(_):
+        return L0, eps0
+
+    def escalate(_):
+        # full XLA ladder from level 0: the XLA NaN criterion and the
+        # pallas pivot flag can disagree near the edge, so the slow
+        # branch re-chooses its own minimal level with its own factor
+        return _chol_ladder_xla(T, eps0, eye)
+
+    return jax.lax.cond(jnp.all(okf > 0.5), use_fast, escalate, None)
 
 
 # C-chol fallback jitter, in units of NOISE (lambda_min(C) = noise

@@ -4,11 +4,13 @@ flagship ladder shape (J=20, m=256 Toeplitz blocks), fwd and fwd+grad.
 
 The batched Pallas factor shipped as the on-TPU ladder default in the r3
 snapshot WITHOUT a recorded measurement — same evidence-discipline gap
-as the tri-update (VERDICT r3 weak #1). This measured it; it LOST (r4b:
-fwd 5.07 vs 4.24 ms, f+g 8.46 vs 7.61) and was reverted to opt-in
-(RPAGP_PALLAS_LADDER). The variant switch flips ONLY the batched ladder
-factor — the p x p panel leaf (measured r3g, RPAGP_PALLAS_CHOL) is
-untouched. Interleaved rounds, median, per r3f drift discipline.
+as the tri-update (VERDICT r3 weak #1). The two-call pallas ladder
+LOST (r4b: fwd 5.07 vs 4.24 ms, f+g 8.46 vs 7.61); the factor-first
+fast path (ONE chol_linv_batched + lax.cond escalation, enabled by the
+leaf's finite-primal failure contract) is what r4e measures: "xla"
+(RPAGP_PALLAS_LADDER=0) vs "fast" (=1). The p x p panel leaf (measured
+r3g, RPAGP_PALLAS_CHOL) is untouched. Interleaved rounds, median, per
+r3f drift discipline.
 
     python scripts/bench_ladder.py [J] [m] [rounds] [steps]
 """
@@ -59,7 +61,7 @@ def main():
             jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)))
 
     variants = {}
-    for name, env in (("xla", "0"), ("pallas", "1")):
+    for name, env in (("xla", "0"), ("fast", "1")):
         os.environ["RPAGP_PALLAS_LADDER"] = env
         fwd = jax.jit(lambda T: grid_solve._chol_ladder(T, eps0)[0])
         vg = jax.jit(jax.value_and_grad(loss))
@@ -70,7 +72,7 @@ def main():
         print(f"{name}: compile+first {time.perf_counter() - t0:.1f}s "
               f"val={float(v):.6e}")
         variants[name] = (fwd, vg, [], [])
-    assert pallas_chol.batch_supported(m), "pallas variant never engaged"
+    assert pallas_chol.batch_supported(m), "fast variant never engaged"
 
     for r in range(rounds):
         for name, (fwd, vg, tf, tg) in variants.items():

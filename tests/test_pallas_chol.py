@@ -168,10 +168,10 @@ def test_batched_leaf_gradient_matches_builtin():
                                rtol=2e-4, atol=2e-4)
 
 
-def test_chol_ladder_pallas_matches_xla(monkeypatch):
-    """grid_solve._chol_ladder with the batched Pallas factor: same
-    factor and same chosen jitters as the XLA path, including a block
-    that needs escalation."""
+def test_chol_ladder_fast_path_escalation_falls_back(monkeypatch):
+    """_chol_ladder's factor-first fast path with a block that fails at
+    the base jitter: lax.cond must discard the Pallas factor and the
+    XLA probe ladder must produce EXACTLY its usual choice/factor."""
     from rpagp.ops import grid_solve
 
     J, m = 3, 128
@@ -183,7 +183,7 @@ def test_chol_ladder_pallas_matches_xla(monkeypatch):
     T = 0.5 * (T + jnp.swapaxes(T, -1, -2))
     eps0 = 1e-4 * T[:, 0, 0]
 
-    monkeypatch.delenv("RPAGP_PALLAS_LADDER", raising=False)
+    monkeypatch.setenv("RPAGP_PALLAS_LADDER", "0")
     L_x, eps_x = grid_solve._chol_ladder(T, eps0)
     monkeypatch.setenv("RPAGP_PALLAS_LADDER", "interpret")
     L_p, eps_p = grid_solve._chol_ladder(T, eps0)
@@ -191,7 +191,42 @@ def test_chol_ladder_pallas_matches_xla(monkeypatch):
     np.testing.assert_allclose(np.asarray(eps_p), np.asarray(eps_x),
                                rtol=1e-6)
     assert float(eps_p[1]) > float(eps0[1])  # escalation engaged
-    np.testing.assert_allclose(np.asarray(L_p), np.asarray(L_x),
+    # same branch, same implementation: digit-exact
+    np.testing.assert_array_equal(np.asarray(L_p), np.asarray(L_x))
+
+
+def test_chol_ladder_fast_path_engaged_matches_xla(monkeypatch):
+    """All blocks factor at the base jitter: the fast path must engage
+    (one Pallas call, eps stays eps0) and its factor must match the XLA
+    ladder's level-0 factor to f32 roundoff — value AND gradient (the
+    closed-form symmetric-cotangent VJP vs autodiff through XLA chol,
+    reached through the symmetric Toeplitz-style map the grid solver
+    uses)."""
+    from rpagp.ops import grid_solve
+
+    J, m = 3, 128
+    T0 = jnp.stack([_spd(m, seed=30 + s, jitter=0.5) for s in range(J)])
+    T0 = 0.5 * (T0 + jnp.swapaxes(T0, -1, -2))
+    eps0 = 1e-4 * T0[:, 0, 0]
+    R = jax.random.normal(jax.random.key(11), (J, m, m), jnp.float32)
+
+    def loss(T):
+        Tsym = 0.5 * (T + jnp.swapaxes(T, -1, -2))
+        L, eps = grid_solve._chol_ladder(Tsym, eps0)
+        return (jnp.vdot(L, R) + 2.0 * jnp.sum(
+            jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1))), eps)
+
+    monkeypatch.setenv("RPAGP_PALLAS_LADDER", "0")
+    (v_x, eps_x), g_x = jax.value_and_grad(loss, has_aux=True)(T0)
+    monkeypatch.setenv("RPAGP_PALLAS_LADDER", "interpret")
+    (v_p, eps_p), g_p = jax.value_and_grad(loss, has_aux=True)(T0)
+
+    np.testing.assert_allclose(np.asarray(eps_p), np.asarray(eps0),
+                               rtol=1e-6)  # fast path: level 0 exactly
+    np.testing.assert_allclose(np.asarray(eps_x), np.asarray(eps0),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(v_p), float(v_x), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
                                rtol=2e-4, atol=2e-4)
 
 
