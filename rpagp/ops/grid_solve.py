@@ -392,7 +392,16 @@ def _chol_ladder(T, eps0):
     if not fast:
         return _chol_ladder_xla(T, eps0, eye)
 
-    L0, _, okf = pallas_chol.chol_linv_batched(
+    # fused variant: every block's elimination advances in one row loop
+    # (one/few kernel programs) instead of J sequential grid programs —
+    # the A/B winner at the flagship ladder shape (BENCHMARKS r4f).
+    # RPAGP_LADDER_FUSED=0 falls back to the vmap form.
+    use_fused = (pallas_chol.fused_supported(T.shape[0], m)
+                 and os.environ.get("RPAGP_LADDER_FUSED", "1")
+                 not in ("0", "off"))
+    batched = (pallas_chol.chol_linv_batched_fused if use_fused
+               else pallas_chol.chol_linv_batched)
+    L0, _, okf = batched(
         T + eps0[..., None, None] * eye, fast == "interpret")
 
     def use_fast(_):

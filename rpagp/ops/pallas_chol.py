@@ -311,6 +311,206 @@ chol_linv.defvjp(_chol_linv_fwd, _chol_linv_bwd)
 _BATCH_MAX_B = 512
 
 
+# ---------------------------------------------------------------------------
+# Fused batched elimination: ALL J blocks advance together in one
+# program.
+#
+# The vmap form below (chol_linv_batched) lifts the batch axis to a
+# Pallas grid — J programs execute SEQUENTIALLY on the single
+# TensorCore, so the 128-row elimination chain is paid J times
+# end-to-end while XLA's batched chol pays it once for the whole batch
+# (each of its column steps operates on all J blocks at once). That is
+# why the two-call vmap ladder lost its A/B (docs/BENCHMARKS.md r4b).
+# The fused kernel restores the good iteration order: ONE row loop
+# whose every step is a (Jb, pb, pb) VPU op advancing every block's
+# elimination simultaneously, with the O(b^3) panel/trailing/inverse
+# GEMMs as per-block MXU dots (python-unrolled — Mosaic has no batched
+# dot). Jb blocks ride in VMEM per program (budgeted in _pick_jb);
+# J/Jb grid programs cover the batch.
+
+
+def _rank1_panel_batched(A0, pb, dtype):
+    """(Jb, pb, pb) batched unblocked elimination:
+    returns (L, Lt, Linv, ok) with ok (Jb, 1, 1) f32 1.0/0.0.
+
+    The same MXU-free row loop as _rank1_block with a leading batch
+    axis: every mask/reduction carries (Jb, ., .) shapes, so one row
+    step advances ALL Jb eliminations (the fused kernel's whole point).
+    """
+    Jb = A0.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, pb), 2)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (1, pb, 1), 1)
+
+    def step(j, carry):
+        A, L, Lt, Linv, ok = carry
+        ohl = (lane == j).astype(dtype)   # (1, 1, pb)
+        ohc = (sub == j).astype(dtype)    # (1, pb, 1)
+        row = jnp.sum(A * ohc, axis=1, keepdims=True)    # (Jb, 1, pb)
+        col = jnp.sum(A * ohl, axis=2, keepdims=True)    # (Jb, pb, 1)
+        dj = jnp.sum(row * ohl, axis=2, keepdims=True)   # (Jb, 1, 1)
+        okj = dj > 0.0
+        rsd = jax.lax.rsqrt(jnp.where(okj, dj, 1.0))
+        lrow = jnp.where(lane >= j, row * rsd, 0.0)
+        lrow = jnp.where(okj, lrow, ohl)  # unit pivot on failure (finite)
+        lcol = jnp.where(sub >= j, col * rsd, 0.0)
+        lcol = jnp.where(okj, lcol, ohc)
+        L = L + lcol * ohl           # place column j (every block)
+        Lt = Lt + ohc * lrow         # the same column as row j of L^T
+        A = A - lcol * lrow          # rank-1 downdate (exactly symmetric)
+        # forward substitution row: Linv[j, :] = (e_j - L[j, :] Linv)/Ljj
+        ljcol = jnp.sum(Lt * ohl, axis=2, keepdims=True)  # (Jb, pb, 1)
+        v = jnp.sum(ljcol * Linv, axis=1, keepdims=True)  # (Jb, 1, pb)
+        linv_row = (ohl - v) * rsd
+        Linv = Linv + ohc * linv_row
+        return A, L, Lt, Linv, ok * okj.astype(dtype)
+
+    def body(i, carry):
+        j0 = i * _UNROLL
+        for t in range(_UNROLL):
+            carry = step(j0 + t, carry)
+        return carry
+
+    Z = jnp.zeros_like(A0)
+    ok0 = jnp.ones((Jb, 1, 1), dtype)
+    _, L, _, Linv, ok = jax.lax.fori_loop(
+        0, pb // _UNROLL, body, (A0, Z, Z, Z, ok0))
+    return L, Linv, ok
+
+
+def _fused_panel_kernel(t_ref, l_ref, linv_ref, ok_ref, *, b, Jb):
+    """Panel-blocked elimination of Jb blocks at once (see module note
+    above). l_ref doubles as the in-place working matrix: its trailing
+    region holds the current Schur complement until the corresponding
+    L panels overwrite it — the classic in-place chol layout, which
+    keeps VMEM at 3 block buffers instead of 4."""
+    pb = min(_PANEL, b)
+    npan = b // pb
+    dtype = t_ref.dtype
+    l_ref[:] = t_ref[:]
+    linv_ref[:] = jnp.zeros((Jb, b, b), dtype)
+    ok = jnp.ones((Jb, 1, 1), dtype)
+    for k in range(npan):  # python-unrolled: every slice is static
+        o = k * pb
+        Lk, Lk_inv, okk = _rank1_panel_batched(
+            l_ref[:, o:o + pb, o:o + pb], pb, dtype)
+        ok = ok * okk
+        l_ref[:, o:o + pb, o:o + pb] = Lk
+        linv_ref[:, o:o + pb, o:o + pb] = Lk_inv
+        for j in range(Jb):  # per-block MXU work (no batched dot)
+            if k > 0:
+                # Linv[k, :o] = -Lkk^{-1} (L[k, :o] @ Linv[:o, :o])
+                prod = jax.lax.dot_general(
+                    l_ref[j, o:o + pb, 0:o], linv_ref[j, 0:o, 0:o], _NN,
+                    precision=_HI, preferred_element_type=dtype)
+                linv_ref[j, o:o + pb, 0:o] = -jax.lax.dot_general(
+                    Lk_inv[j], prod, _NN, precision=_HI,
+                    preferred_element_type=dtype)
+            if k < npan - 1:
+                # column panel + live-region trailing update
+                Lcol = jax.lax.dot_general(
+                    l_ref[j, o + pb:b, o:o + pb], Lk_inv[j], _NT,
+                    precision=_HI, preferred_element_type=dtype)
+                l_ref[j, o + pb:b, o:o + pb] = Lcol
+                l_ref[j, o + pb:b, o + pb:b] = (
+                    l_ref[j, o + pb:b, o + pb:b]
+                    - jax.lax.dot_general(Lcol, Lcol, _NT, precision=_HI,
+                                          preferred_element_type=dtype))
+    # the in-place layout leaves stale symmetric-copy values ABOVE the
+    # diagonal (regions [o:o+pb, o+pb:] are never rewritten); mask to
+    # exactly-lower-triangular so the output matches jnp.linalg.cholesky
+    lane_b = jax.lax.broadcasted_iota(jnp.int32, (1, 1, b), 2)
+    sub_b = jax.lax.broadcasted_iota(jnp.int32, (1, b, 1), 1)
+    l_ref[:] = l_ref[:] * (sub_b >= lane_b).astype(dtype)
+    ok_ref[:] = ok
+
+
+def _pick_jb(J: int, b: int) -> int | None:
+    """Largest divisor of J whose per-program VMEM footprint fits:
+    3 (Jb, b, b) block buffers, double-buffered across grid steps by
+    the Mosaic pipeline, plus 4 (Jb, pb, pb) elimination carries,
+    against a conservative ~12 MB budget. None = no divisor fits."""
+    pb = min(_PANEL, b)
+    per_block = 2 * 3 * b * b * 4 + 4 * pb * pb * 4
+    best = None
+    for jb in range(1, J + 1):
+        if J % jb == 0 and jb * per_block <= 12_000_000:
+            best = jb
+    return best
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def chol_linv_batched_fused(T, interpret: bool = False):
+    """(L, Linv, ok) for a batch of symmetric blocks T (J, b, b) via the
+    fused batched kernel — one row loop advancing every block (J/Jb
+    sequential grid programs of Jb blocks each). Same contract as
+    chol_linv_batched: finite primals always, ok (J,) f32 flags, and a
+    GEMM-only closed-form VJP (batched over J at the XLA level).
+
+    Requires pb | b (pb = min(128, b)) and a feasible Jb split — check
+    `fused_supported` first; fall back to chol_linv_batched otherwise.
+    """
+    return _fused_call(T, interpret)
+
+
+def fused_supported(J: int, b: int) -> bool:
+    """Whether chol_linv_batched_fused can run a (J, b, b) batch."""
+    pb = min(_PANEL, b)
+    return (b % pb == 0 and pb % _UNROLL == 0 and b <= _BATCH_MAX_B
+            and _pick_jb(J, b) is not None)
+
+
+def _fused_call(T, interpret):
+    J, b = T.shape[0], T.shape[-1]
+    if T.ndim != 3 or not fused_supported(J, b):
+        raise ValueError(f"fused batched chol cannot run {T.shape}; "
+                         "check fused_supported first")
+    Jb = _pick_jb(J, b)
+    L, Linv, okf = pl.pallas_call(
+        functools.partial(_fused_panel_kernel, b=b, Jb=Jb),
+        grid=(J // Jb,),
+        in_specs=[pl.BlockSpec((Jb, b, b), lambda i: (i, 0, 0))],
+        out_specs=(
+            pl.BlockSpec((Jb, b, b), lambda i: (i, 0, 0)),
+            pl.BlockSpec((Jb, b, b), lambda i: (i, 0, 0)),
+            pl.BlockSpec((Jb, 1, 1), lambda i: (i, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((J, b, b), T.dtype),
+            jax.ShapeDtypeStruct((J, b, b), T.dtype),
+            jax.ShapeDtypeStruct((J, 1, 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(T)
+    return L, Linv, okf[:, 0, 0]
+
+
+def _fused_fwd(T, interpret):
+    L, Linv, okf = _fused_call(T, interpret)
+    return (L, Linv, okf), (L, Linv)
+
+
+def _fused_bwd(interpret, res, cts):
+    # batched closed-form chol VJP (see chol_linv): all O(J b^3) work is
+    # XLA batched GEMMs; the symmetric-cotangent convention applies —
+    # callers must reach this through symmetric inputs.
+    L, Linv = res
+    Lbar, Linvbar, _ = cts
+    LinvT = jnp.swapaxes(Linv, -1, -2)
+    corr = jnp.matmul(jnp.matmul(LinvT, Linvbar, precision=_HI),
+                      LinvT, precision=_HI)
+    Lb = jnp.tril(Lbar - corr)
+    M = jnp.matmul(jnp.swapaxes(L, -1, -2), Lb, precision=_HI)
+    eye = jnp.eye(L.shape[-1], dtype=L.dtype)
+    P = jnp.tril(M, -1) + 0.5 * M * eye
+    S = P + jnp.swapaxes(P, -1, -2)
+    Abar = 0.5 * jnp.matmul(jnp.matmul(LinvT, S, precision=_HI),
+                            Linv, precision=_HI)
+    return (Abar,)
+
+
+chol_linv_batched_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
 def batch_supported(b: int) -> bool:
     """Whether chol_linv_batched can run blocks of size b."""
     return b % 8 == 0 and b <= _BATCH_MAX_B

@@ -61,8 +61,10 @@ def main():
             jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)))
 
     variants = {}
-    for name, env in (("xla", "0"), ("fast", "1")):
+    for name, env, fused in (("xla", "0", "1"), ("vmap", "1", "0"),
+                             ("fused", "1", "1")):
         os.environ["RPAGP_PALLAS_LADDER"] = env
+        os.environ["RPAGP_LADDER_FUSED"] = fused
         fwd = jax.jit(lambda T: grid_solve._chol_ladder(T, eps0)[0])
         vg = jax.jit(jax.value_and_grad(loss))
         t0 = time.perf_counter()

@@ -168,6 +168,87 @@ def test_batched_leaf_gradient_matches_builtin():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_fused_batched_leaf_matches_builtin():
+    """chol_linv_batched_fused: values vs builtin batched chol, exact
+    L @ Linv, per-block ok flags with one indefinite block (finite
+    primals), across a multi-panel block size."""
+    J, b = 4, 256
+    T = jnp.stack([_spd(b, seed=40 + s, jitter=0.5) for s in range(J)])
+    T = 0.5 * (T + jnp.swapaxes(T, -1, -2))
+    assert pallas_chol.fused_supported(J, b)
+    L, Linv, okf = pallas_chol.chol_linv_batched_fused(T, True)
+    want = jnp.linalg.cholesky(T)
+    np.testing.assert_array_equal(np.asarray(okf) > 0.5, [True] * J)
+    np.testing.assert_allclose(np.asarray(L), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    for j in range(J):
+        np.testing.assert_allclose(np.asarray(L[j] @ Linv[j]), np.eye(b),
+                                   rtol=0, atol=5e-5)
+    # upper triangle must be EXACTLY zero (the in-place layout's mask)
+    assert float(jnp.max(jnp.abs(jnp.triu(L, 1)))) == 0.0
+
+    Tbad = T.at[2].add(-10.0 * jnp.eye(b))
+    L2, Linv2, ok2 = pallas_chol.chol_linv_batched_fused(Tbad, True)
+    np.testing.assert_array_equal(np.asarray(ok2) > 0.5,
+                                  [True, True, False, True])
+    assert bool(jnp.all(jnp.isfinite(L2)) and jnp.all(jnp.isfinite(Linv2)))
+
+
+def test_fused_batched_leaf_gradient_matches_builtin():
+    """Fused batched VJP parity with autodiff through builtin chol,
+    through the symmetrized input map (symmetric-cotangent convention),
+    including the Linv cotangent fold-in."""
+    J, b = 3, 128
+    T0 = jnp.stack([_spd(b, seed=50 + s, jitter=0.5) for s in range(J)])
+    R = jax.random.normal(jax.random.key(13), (J, b, b), jnp.float32)
+    Q = jax.random.normal(jax.random.key(14), (J, b, b), jnp.float32)
+
+    def sym(T):
+        return 0.5 * (T + jnp.swapaxes(T, -1, -2))
+
+    def loss_fused(T):
+        L, Linv, _ = pallas_chol.chol_linv_batched_fused(sym(T), True)
+        return (jnp.vdot(L, R) + 0.1 * jnp.vdot(Linv, Q)
+                + 2.0 * jnp.sum(jnp.log(
+                    jnp.diagonal(L, axis1=-2, axis2=-1))))
+
+    def loss_ref(T):
+        L = jnp.linalg.cholesky(sym(T))
+        Linv = jax.vmap(lambda Lj: jax.scipy.linalg.solve_triangular(
+            Lj, jnp.eye(b, dtype=Lj.dtype), lower=True))(L)
+        return (jnp.vdot(L, R) + 0.1 * jnp.vdot(Linv, Q)
+                + 2.0 * jnp.sum(jnp.log(
+                    jnp.diagonal(L, axis1=-2, axis2=-1))))
+
+    v1, g1 = jax.value_and_grad(loss_fused)(T0)
+    v2, g2 = jax.value_and_grad(loss_ref)(T0)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_chol_ladder_fused_vs_vmap_paths(monkeypatch):
+    """The ladder fast path produces the same factor through the fused
+    and vmap batched kernels (RPAGP_LADDER_FUSED toggle)."""
+    from rpagp.ops import grid_solve
+
+    J, m = 4, 128
+    T = jnp.stack([_spd(m, seed=60 + s, jitter=0.5) for s in range(J)])
+    T = 0.5 * (T + jnp.swapaxes(T, -1, -2))
+    eps0 = 1e-4 * T[:, 0, 0]
+
+    monkeypatch.setenv("RPAGP_PALLAS_LADDER", "interpret")
+    monkeypatch.setenv("RPAGP_LADDER_FUSED", "0")
+    L_v, eps_v = grid_solve._chol_ladder(T, eps0)
+    monkeypatch.setenv("RPAGP_LADDER_FUSED", "1")
+    L_f, eps_f = grid_solve._chol_ladder(T, eps0)
+
+    np.testing.assert_allclose(np.asarray(eps_f), np.asarray(eps_v),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(L_f), np.asarray(L_v),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_chol_ladder_fast_path_escalation_falls_back(monkeypatch):
     """_chol_ladder's factor-first fast path with a block that fails at
     the base jitter: lax.cond must discard the Pallas factor and the
