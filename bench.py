@@ -37,6 +37,10 @@ import time
 import jax
 import jax.numpy as jnp
 
+from rpagp.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()  # bench pays one cold compile per image, not per run
+
 REFERENCE_STEP_S = 1.0  # A100 stand-in budget (see module docstring)
 
 

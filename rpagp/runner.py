@@ -256,6 +256,12 @@ def _run_split_distributed(exp: ExperimentSpec, x, y, xt, yt, seed: int,
 
 
 def main(argv=None):
+    # persistent XLA compile cache: the runner's end-to-end cost is
+    # ~85% compile without it (BENCHMARKS r4g); RPAGP_COMPILE_CACHE=off
+    # disables
+    from .utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     ap = argparse.ArgumentParser(description="RPA-GP experiment runner (TPU-native)")
     ap.add_argument("--model_spec", required=True, help="path to JSON model spec")
     ap.add_argument("--datasets", nargs="+", required=True)

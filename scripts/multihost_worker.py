@@ -53,6 +53,10 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
 
+    from rpagp.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # N workers share one XLA cache (atomic writes)
+
     from rpagp.parallel import multihost  # noqa: E402  (imports jax)
 
     multihost.initialize(coordinator_address=args.coordinator,

@@ -19,6 +19,13 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 os.environ.setdefault("JAX_PLATFORMS", "cpu")  # respected by stock jax
 
+# persistent XLA compile cache: the suite is compile-bound (~30-60 min
+# first run); repeat runs reuse every compiled test program
+# (rpagp.utils.compile_cache; RPAGP_COMPILE_CACHE=off disables)
+from rpagp.utils.compile_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 import jax  # noqa: E402
 
 _cpus = jax.devices("cpu")
