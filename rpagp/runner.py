@@ -44,6 +44,32 @@ CSV_COLUMNS = [
 ]
 
 
+# per-process memo of (loss_fn, optimizer) keyed by everything their
+# closures capture: with equal_train k-folds every split shares one
+# train shape, so reusing the SAME function objects lets
+# train.make_step's jitted-step memo serve all k splits with ONE
+# trace+compile (BENCHMARKS r4g/r4h: trace+compile dominate sweeps).
+_FN_CACHE: dict = {}
+_FN_CACHE_MAX = 32
+
+
+def _loss_and_optimizer(spec, n, iterative, train_cfg):
+    key = (spec, n, iterative, train_cfg)
+    if key not in _FN_CACHE:
+        if iterative:
+            # stochastic MLL: resample probe vectors every step
+            # (reference behavior); train loop smooths patience with an
+            # EMA
+            fn = (lambda p, b, xx, yy, k:
+                  -mll_fn(spec, p, b, xx, yy, key=k) / n)
+        else:
+            fn = lambda p, b, xx, yy: -mll_fn(spec, p, b, xx, yy) / n
+        if len(_FN_CACHE) >= _FN_CACHE_MAX:
+            _FN_CACHE.pop(next(iter(_FN_CACHE)))
+        _FN_CACHE[key] = (fn, make_optimizer(train_cfg))
+    return _FN_CACHE[key]
+
+
 def run_split(exp: ExperimentSpec, split, seed: int = 0,
               distributed: bool = False, comp_shards: int = 1):
     """Train on one split, return metrics dict (SURVEY.md §3.1 inner loop)."""
@@ -69,14 +95,8 @@ def run_split(exp: ExperimentSpec, split, seed: int = 0,
     # patience logic, no probe keys, no preconditioner refresh
     grid = grid_solve.use_grid_solver(spec, n)
     iterative = (n > spec.max_cholesky_size or spec.kernel.ski) and not grid
-    if iterative:
-        # stochastic MLL: resample probe vectors every step (reference
-        # behavior); train loop smooths patience with an EMA
-        loss_fn = lambda p, b, xx, yy, k: -mll_fn(spec, p, b, xx, yy, key=k) / n
-        key = jax.random.key(seed + 1)
-    else:
-        loss_fn = lambda p, b, xx, yy: -mll_fn(spec, p, b, xx, yy) / n
-        key = None
+    loss_fn, optimizer = _loss_and_optimizer(spec, n, iterative, exp.train)
+    key = jax.random.key(seed + 1) if iterative else None
 
     refresh = None
     if iterative and spec.precond_refresh > 1 and spec.precond_rank > 0:
@@ -96,7 +116,7 @@ def run_split(exp: ExperimentSpec, split, seed: int = 0,
         rel_tol=exp.train.rel_tol,
         key=key,
         loss_args=(buffers, x, y),
-        optimizer=make_optimizer(exp.train),
+        optimizer=optimizer,
         args_refresh=refresh,
     )
     train_time = time.perf_counter() - t0

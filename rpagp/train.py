@@ -35,9 +35,21 @@ class TrainResult:
     wall_time_s: float
 
 
+# jitted-step memo: jax.jit's in-memory cache keys on the FUNCTION
+# OBJECT, so a fresh jit wrapper per train_to_convergence call re-pays
+# the full Python trace+lower (~50 s for the flagship-class graph,
+# BENCHMARKS r4g) even when the persistent XLA cache skips the compile.
+# Memoizing on (loss_fn, optimizer, with_key) identity lets callers
+# that reuse their loss_fn/optimizer across calls (the runner reuses
+# them across k-fold splits) trace once per process. LRU-bounded;
+# identity keys are safe because the cache holds strong refs.
+_STEP_CACHE: dict = {}
+_STEP_CACHE_MAX = 16
+
+
 def make_step(loss_fn: Callable, optimizer, with_key: bool = False) -> Callable:
-    """Build the jit'd (params, opt_state, *loss_args[, key]) ->
-    (params, opt_state, loss) step.
+    """Build (memoized) the jit'd (params, opt_state, *loss_args[, key])
+    -> (params, opt_state, loss) step.
 
     loss_args (data, buffers, cached geometry, ...) are TRACED ARGUMENTS,
     not closure constants: closed-over arrays are embedded into the
@@ -47,7 +59,22 @@ def make_step(loss_fn: Callable, optimizer, with_key: bool = False) -> Callable:
 
     with_key: loss_fn(params, *loss_args, key) — for stochastic MLLs
     whose probe vectors resample every step (the reference's behavior)."""
+    try:
+        cache_key = (loss_fn, optimizer, with_key)
+        if cache_key in _STEP_CACHE:
+            return _STEP_CACHE[cache_key]
+    except TypeError:  # unhashable loss_fn/optimizer: build uncached
+        cache_key = None
 
+    step = _build_step(loss_fn, optimizer, with_key)
+    if cache_key is not None:
+        if len(_STEP_CACHE) >= _STEP_CACHE_MAX:
+            _STEP_CACHE.pop(next(iter(_STEP_CACHE)))
+        _STEP_CACHE[cache_key] = step
+    return step
+
+
+def _build_step(loss_fn: Callable, optimizer, with_key: bool) -> Callable:
     if with_key:
 
         @jax.jit

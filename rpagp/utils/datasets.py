@@ -162,21 +162,37 @@ class Split:
 
 
 def kfold_splits(
-    ds: Dataset, k: int = 10, seed: int = 0, dtype=np.float32
+    ds: Dataset, k: int = 10, seed: int = 0, dtype=np.float32,
+    equal_train: bool = True,
 ) -> Iterator[Split]:
     """90/10 k-fold CV with per-split z-scoring from TRAIN statistics only
     (the reference's protocol — [U] gp_experiment_runner.py).
 
     Fold assignment comes from the native runtime's splitmix64
-    Fisher-Yates permutation (identical with or without the toolchain)."""
+    Fisher-Yates permutation (identical with or without the toolchain).
+
+    equal_train=True (default) trims every fold's TRAIN set to the
+    common minimum size (n - max fold size) by dropping the tail of the
+    permuted index list — at most ONE randomly-permuted row per fold.
+    np.array_split makes fold sizes differ by one, so without the trim
+    every split has a distinct train shape and XLA re-traces and
+    re-compiles the training step PER SPLIT — which dominates sweep
+    wall-clock (docs/BENCHMARKS.md r4g: trace+compile is minutes, the
+    120-step training is seconds). Test folds are NEVER trimmed: they
+    still partition the data exactly, so reported RMSE/NLL keep the
+    reference protocol. equal_train=False restores exact reference
+    train folds."""
     from . import native
 
     n = ds.X.shape[0]
     perm = native.kfold_perm(n, seed)
     folds = np.array_split(perm, k)
+    n_train_common = n - max(len(f) for f in folds)
     for i in range(k):
         test_idx = folds[i]
         train_idx = np.concatenate([folds[j] for j in range(k) if j != i])
+        if equal_train:
+            train_idx = train_idx[:n_train_common]
         yield _make_split(ds, train_idx, test_idx, dtype)
 
 
