@@ -331,7 +331,8 @@ _BATCH_MAX_B = 512
 
 def _rank1_panel_batched(A0, pb, dtype):
     """(Jb, pb, pb) batched unblocked elimination:
-    returns (L, Lt, Linv, ok) with ok (Jb, 1, 1) f32 1.0/0.0.
+    returns (L, Linv, ok) with ok (Jb, 1, 1) f32 1.0/0.0 (L^T is an
+    internal fori_loop carry only, consumed by the substitution row).
 
     The same MXU-free row loop as _rank1_block with a leading batch
     axis: every mask/reduction carries (Jb, ., .) shapes, so one row
@@ -427,10 +428,12 @@ def _fused_panel_kernel(t_ref, l_ref, linv_ref, ok_ref, *, b, Jb):
 def _pick_jb(J: int, b: int) -> int | None:
     """Largest divisor of J whose per-program VMEM footprint fits:
     3 (Jb, b, b) block buffers, double-buffered across grid steps by
-    the Mosaic pipeline, plus 4 (Jb, pb, pb) elimination carries,
-    against a conservative ~12 MB budget. None = no divisor fits."""
+    the Mosaic pipeline, plus 5 (Jb, pb, pb) elimination carries
+    (A, L, Lt, Linv and temporaries; the ok carry is (Jb, 1, 1) —
+    negligible), against a conservative ~12 MB budget. None = no
+    divisor fits."""
     pb = min(_PANEL, b)
-    per_block = 2 * 3 * b * b * 4 + 4 * pb * pb * 4
+    per_block = 2 * 3 * b * b * 4 + 5 * pb * pb * 4
     best = None
     for jb in range(1, J + 1):
         if J % jb == 0 and jb * per_block <= 12_000_000:
@@ -530,9 +533,11 @@ def chol_linv_batched(T, interpret: bool = False):
     LOSES to XLA's batched chol — fwd 5.07 vs 4.24 ms, f+g 8.46 vs
     7.61 ms, interleaved medians (docs/BENCHMARKS.md r4b; the panel
     kernel's per-program chain doesn't amortize across a batch the way
-    it does inside the p x p factor). It is therefore OPT-IN for the
-    ladder (RPAGP_PALLAS_LADDER=1), kept as a tested vehicle and for
-    its per-block ok flags.
+    it does inside the p x p factor). The ladder's factor-first fast
+    path (default-on on TPU, r4e) therefore uses the FUSED kernel
+    (chol_linv_batched_fused, r4f); this vmap form is only reached
+    with RPAGP_LADDER_FUSED=0, kept as a tested vehicle and for its
+    per-block ok flags.
     """
     if T.ndim != 3 or not batch_supported(T.shape[-1]):
         raise ValueError(f"chol_linv_batched expects (J, b, b) with 8 | b "

@@ -41,7 +41,12 @@ def enable_persistent_cache() -> str | None:
         return None
     import jax
 
-    os.makedirs(path, exist_ok=True)
+    try:
+        os.makedirs(path, exist_ok=True)
+    except OSError:
+        # read-only HOME / sandboxed CI: the cache is an optional
+        # optimization — never let it fail an entry point at import
+        return None
     jax.config.update("jax_compilation_cache_dir", path)
     # default threshold is 1s already in recent jax, but pin it: the
     # many ~2-10 s subgraphs (prepare, posterior chunks) matter as much

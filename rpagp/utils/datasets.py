@@ -163,7 +163,7 @@ class Split:
 
 def kfold_splits(
     ds: Dataset, k: int = 10, seed: int = 0, dtype=np.float32,
-    equal_train: bool = True,
+    equal_train: bool = False,
 ) -> Iterator[Split]:
     """90/10 k-fold CV with per-split z-scoring from TRAIN statistics only
     (the reference's protocol — [U] gp_experiment_runner.py).
@@ -171,17 +171,18 @@ def kfold_splits(
     Fold assignment comes from the native runtime's splitmix64
     Fisher-Yates permutation (identical with or without the toolchain).
 
-    equal_train=True (default) trims every fold's TRAIN set to the
-    common minimum size (n - max fold size) by dropping the tail of the
-    permuted index list — at most ONE randomly-permuted row per fold.
-    np.array_split makes fold sizes differ by one, so without the trim
-    every split has a distinct train shape and XLA re-traces and
-    re-compiles the training step PER SPLIT — which dominates sweep
+    equal_train=False (default): exact reference folds, bit-comparable
+    to the 90/10 protocol. equal_train=True trims every fold's TRAIN
+    set to the common minimum size (n - max fold size) by dropping the
+    tail of the permuted index list — at most ONE randomly-permuted row
+    per fold. np.array_split makes fold sizes differ by one, so without
+    the trim every split has a distinct train shape and XLA re-traces
+    and re-compiles the training step PER SPLIT — which dominates sweep
     wall-clock (docs/BENCHMARKS.md r4g: trace+compile is minutes, the
-    120-step training is seconds). Test folds are NEVER trimmed: they
-    still partition the data exactly, so reported RMSE/NLL keep the
-    reference protocol. equal_train=False restores exact reference
-    train folds."""
+    120-step training is seconds); the runner CLI therefore opts in.
+    Test folds are NEVER trimmed: they still partition the data
+    exactly, so reported RMSE/NLL keep the reference protocol either
+    way."""
     from . import native
 
     n = ds.X.shape[0]

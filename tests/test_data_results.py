@@ -25,6 +25,20 @@ def test_kfold_splits_partition_and_determinism():
     np.testing.assert_allclose(f.train_x.std(axis=0), 1.0, atol=1e-4)
 
 
+def test_kfold_equal_train_opt_in():
+    """equal_train=True: one common train shape (trace reuse, r4h);
+    default False keeps the exact reference folds (ADVICE r4)."""
+    ds = dm.load_dataset("servo")
+    n = ds.X.shape[0]
+    eq = list(dm.kfold_splits(ds, k=5, seed=3, equal_train=True))
+    assert len({f.train_x.shape[0] for f in eq}) == 1  # one shape
+    # test folds still partition the data exactly
+    assert sum(f.test_x.shape[0] for f in eq) == n
+    # library default: exact reference folds (train + test == n)
+    ref = list(dm.kfold_splits(ds, k=5, seed=3))
+    assert all(f.train_x.shape[0] + f.test_x.shape[0] == n for f in ref)
+
+
 def test_synthetic_fallback_shapes_and_determinism():
     a = dm.load_dataset("yacht")
     b = dm.load_dataset("yacht")
