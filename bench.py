@@ -139,6 +139,12 @@ def main():
         batch_ms.append((time.perf_counter() - t0) / iters)
     dt = sorted(batch_ms)[len(batch_ms) // 2]
 
+    # drift bounds IN the artifact: axon-tunnel load swings identical
+    # back-to-back runs 31-38 ms (CLAUDE.md; VERDICT r4 weak #3 — the
+    # r4 driver artifact read 37.25 against quiet-window 31.7-33.2 with
+    # no way to tell "regressed" from "windy window" post hoc). min_ms
+    # is the least-contended batch this process saw; a wide
+    # (max-min)/min marks a windy window.
     print(
         json.dumps(
             {
@@ -146,6 +152,9 @@ def main():
                 "value": round(dt * 1e3, 3),
                 "unit": "ms/step",
                 "vs_baseline": round(reference_step_s(n) / dt, 3),
+                "min_ms": round(min(batch_ms) * 1e3, 3),
+                "max_ms": round(max(batch_ms) * 1e3, 3),
+                "batches_ms": [round(b * 1e3, 2) for b in batch_ms],
             }
         )
     )

@@ -139,22 +139,30 @@ class SVGPTrainResult:
     losses: list
 
 
-def train_svgp(spec: ModelSpec, params, buffers, x, y, key,
-               batch_size: int = 1024, num_epochs: int = 50, lr: float = 0.01,
-               verbose: bool = False):
-    """Minibatch Adam on -ELBO (the reference's SVGP training loop,
-    [U] training_routines.py SVGP branch). Epoch shuffling on device;
-    steps-per-epoch static; one jit'd step reused throughout."""
+# epoch-program memo: a fresh @jax.jit closure per train_svgp call
+# would re-pay the Python trace per call/per split (jit keys its cache
+# on function identity — the r4h finding); keyed on everything the
+# closure captures. LRU-bounded.
+_EPOCH_CACHE: dict = {}
+_EPOCH_CACHE_MAX = 16
+
+
+def _epoch_program(spec: ModelSpec, n: int, steps: int, b: int, lr: float):
+    """(jitted epoch fn, optimizer) for the (spec, shape, lr) signature.
+    The epoch is ONE XLA program: device-side shuffle + lax.scan over
+    the minibatch Adam steps."""
     import optax
 
-    n = x.shape[0]
-    b = min(batch_size, n)
-    steps = max(1, n // b)
+    key = (spec, n, steps, b, lr)
+    if key in _EPOCH_CACHE:
+        return _EPOCH_CACHE[key]
     opt = optax.adam(lr)
-    opt_state = opt.init(params)
 
     @jax.jit
-    def epoch(params, opt_state, key):
+    def epoch(params, opt_state, x, y, buffers, key):
+        # x/y/buffers are ARGS, not closures: closed-over arrays embed
+        # as inline MLIR constants — at n~1.8M that is a multi-100MB
+        # compile payload (see train.make_step docstring)
         perm = jax.random.permutation(key, n)
         xs = x[perm[: steps * b]].reshape(steps, b, -1)
         ys = y[perm[: steps * b]].reshape(steps, b)
@@ -174,10 +182,29 @@ def train_svgp(spec: ModelSpec, params, buffers, x, y, key,
         )
         return params, opt_state, losses.mean()
 
+    if len(_EPOCH_CACHE) >= _EPOCH_CACHE_MAX:
+        _EPOCH_CACHE.pop(next(iter(_EPOCH_CACHE)))
+    _EPOCH_CACHE[key] = (epoch, opt)
+    return epoch, opt
+
+
+def train_svgp(spec: ModelSpec, params, buffers, x, y, key,
+               batch_size: int = 1024, num_epochs: int = 50, lr: float = 0.01,
+               verbose: bool = False):
+    """Minibatch Adam on -ELBO (the reference's SVGP training loop,
+    [U] training_routines.py SVGP branch). Epoch shuffling on device;
+    steps-per-epoch static; one jit'd (memoized) epoch program reused
+    throughout and across calls of the same signature."""
+    n = x.shape[0]
+    b = min(batch_size, n)
+    steps = max(1, n // b)
+    epoch, opt = _epoch_program(spec, n, steps, b, lr)
+    opt_state = opt.init(params)
+
     losses = []
     for e in range(num_epochs):
         key, k = jax.random.split(key)
-        params, opt_state, loss = epoch(params, opt_state, k)
+        params, opt_state, loss = epoch(params, opt_state, x, y, buffers, k)
         losses.append(float(loss))
         if verbose and e % 10 == 0:
             print(f"  epoch {e:3d}  -elbo/n {losses[-1]:.5f}")

@@ -528,10 +528,28 @@ def _factor_diag(spec: ModelSpec, kparams, state: ski.SKIState, S4, noise,
     the two ladders actually chose (dead-code-eliminated when the
     caller drops them)."""
     G, t_mult = _grid_chol_G(spec, kparams, state)
-    p = G.shape[0] * G.shape[1]
+    J, M = G.shape[0], G.shape[1]
+    p = J * M
     # Sg = G^T S G as two J-batched block products (blockdiag structure)
-    SG = jnp.einsum("imjn,jnb->imjb", S4, G, precision=_HI)
-    Sg = jnp.einsum("ima,imjb->iajb", G, SG, precision=_HI).reshape(p, p)
+    if os.environ.get("RPAGP_GSG_DOT", "0") == "1":
+        # explicit batched-GEMM layout (A/B candidate, BENCHMARKS r4c
+        # "GEMM-side einsum tightening"): choose the transposes so each
+        # contraction is ONE dot_general with a leading batch dim and
+        # an MXU-shaped (J*M, M) x (M, M) per batch element, instead of
+        # whatever layout XLA picks for the 4-axis einsum
+        S_j = S4.transpose(2, 0, 1, 3).reshape(J, J * M, M)  # (j, i*m, n)
+        SG_j = jax.lax.dot_general(  # (j, i*m, b)
+            S_j, G, (((2,), (1,)), ((0,), (0,))), precision=_HI)
+        # (i, m, j*b) view for the left product
+        SG_i = SG_j.reshape(J, J, M, M).transpose(1, 2, 0, 3) \
+            .reshape(J, M, J * M)
+        Sg = jax.lax.dot_general(  # (i, a, j*b): G[i]^T @ SG[i]
+            G.transpose(0, 2, 1), SG_i, (((2,), (1,)), ((0,), (0,))),
+            precision=_HI).reshape(p, p)
+    else:
+        SG = jnp.einsum("imjn,jnb->imjb", S4, G, precision=_HI)
+        Sg = jnp.einsum("ima,imjb->iajb", G, SG,
+                        precision=_HI).reshape(p, p)
     Sg = 0.5 * (Sg + Sg.T)  # rounding hygiene: kill the asymmetric error
     C = Sg + noise * jnp.eye(p, dtype=Sg.dtype)
     Lc, eps_c = (chol_fn or _chol_with_fallback_eps)(C, noise)

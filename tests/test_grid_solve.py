@@ -82,6 +82,20 @@ def test_grid_mll_matches_dense_ski_oracle():
     assert _grad_relerr(g, go) < 1e-3
 
 
+def test_gsg_dot_form_parity(monkeypatch):
+    """RPAGP_GSG_DOT=1 (explicit batched-GEMM G^T S G layout, the r5
+    einsum-tightening A/B candidate) must match the einsum form's MLL
+    value and gradient to f32 reduction-order roundoff."""
+    spec, params, buffers, x, y = _setup()
+    v0, g0 = jax.value_and_grad(
+        lambda p: grid_solve.grid_mll(spec, p, buffers, x, y))(params)
+    monkeypatch.setenv("RPAGP_GSG_DOT", "1")
+    v1, g1 = jax.value_and_grad(
+        lambda p: grid_solve.grid_mll(spec, p, buffers, x, y))(params)
+    assert abs(float(v0 - v1)) / abs(float(v0)) < 1e-5
+    assert _grad_relerr(g1, g0) < 1e-4
+
+
 def test_grid_mll_jitter_bias_is_small():
     """Against the UNjittered oracle the bias is O(eps) — far below the
     SKI interpolation error."""

@@ -205,6 +205,56 @@ def test_runner_distributed_trains_past_patience():
         assert int(rows[0]["iterations"]) > 10  # NOT stopped at patience
 
 
+def test_runner_mll_pairs_with_best_params():
+    """The CSV mll column must describe the SAME params as rmse/nll —
+    the best-iterate params — not the last iteration's objective
+    (VERDICT r4 weak #5: on a patience stop the last loss is `patience`
+    steps past the returned model)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rpagp.models import exact_gp
+    from rpagp.train import train_to_convergence
+    from rpagp.utils import datasets as dm
+    from rpagp.utils.config import experiment_spec_from_dict, make_optimizer
+
+    exp = experiment_spec_from_dict({
+        "name": "it_pair",
+        "kernel": {"type": "projection", "J": 4, "d": 1},
+        # lr high enough that the loss oscillates into a patience stop:
+        # the LAST loss is then strictly worse than the best (measured
+        # delta 0.88), separating the two quantities this test pins
+        "training": {"lr": 3.0, "max_iters": 120, "patience": 8},
+    })
+    ds = dm.load_dataset("challenger")
+    split = next(dm.kfold_splits(ds, k=5, seed=0, equal_train=True))
+    m = runner.run_split(exp, split, seed=0)
+
+    # independent reproduction of the same trajectory
+    x = jnp.asarray(split.train_x)
+    y = jnp.asarray(split.train_y)
+    n = x.shape[0]
+    params, buffers = exact_gp.init_model(jax.random.key(0), exp.model,
+                                          x.shape[1])
+    buffers = exact_gp.prepare_buffers(exp.model, params, buffers, x,
+                                       y_train=y)
+    loss_fn, optimizer = runner._loss_and_optimizer(
+        exp.model, n, False, exp.train)
+    res = train_to_convergence(
+        loss_fn, params, lr=exp.train.lr, max_iters=exp.train.max_iters,
+        patience=exp.train.patience, rel_tol=exp.train.rel_tol,
+        loss_args=(buffers, x, y), optimizer=make_optimizer(exp.train))
+
+    # the row's mll is the objective at the RETURNED params
+    assert m["mll"] == pytest.approx(-res.best_loss, rel=1e-6)
+    # best_loss is literally loss_fn evaluated at the returned params
+    relo = float(loss_fn(res.params, buffers, x, y))
+    assert relo == pytest.approx(res.best_loss, rel=1e-6)
+    # and the trajectory did overshoot, so last != best (else this test
+    # couldn't distinguish the bug it pins)
+    assert res.losses[-1] > res.best_loss + 1e-9
+
+
 def test_runner_rejects_unknown_dataset():
     with tempfile.TemporaryDirectory() as d:
         spec = _write_spec(d, {"kernel": {"type": "rbf"}})
