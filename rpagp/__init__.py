@@ -17,6 +17,10 @@ Public surface:
   load_dataset / kfold_splits      — UCI data layer
 """
 
+import time as _time
+
+_IMPORT_T0 = _time.perf_counter()  # pre-jax timestamp (RPAGP_TIMING)
+
 from .ops.kernels import KernelSpec
 from .models.exact_gp import ModelSpec, init_model, exact_mll, predict
 from .mll import (mll, posterior, posterior_cov, sample_posterior,

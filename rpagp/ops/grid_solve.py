@@ -562,21 +562,38 @@ def _factor_diag(spec: ModelSpec, kparams, state: ski.SKIState, S4, noise,
     return G, Lc, diag
 
 
+def factor_diagnostics_traced(spec: ModelSpec, params, buffers):
+    """Traceable fallback-engagement telemetry: (t_jitter_mult_max,
+    c_jitter_over_noise) as scalars — composable into a larger jitted
+    program. Eagerly evaluating the p x p factor dispatches hundreds of
+    primitives one-by-one over the remote TPU transport (measured
+    170 s/split at protein scale, r5b) — callers on a hot path must
+    fold THIS into an existing jitted program (the runner rides it on
+    the posterior; XLA CSEs / cheaply recomputes the shared factor)."""
+    state = buffers["ski_state"]
+    S4 = buffers["ski_uu"]
+    noise = exact_gp.noise_value(params)
+    _, _, diag = _factor_diag(spec, params["kernel"], state, S4, noise)
+    return jnp.max(diag["t_jitter_mult"]), diag["c_jitter_over_noise"]
+
+
 def factor_diagnostics(spec: ModelSpec, params, buffers):
     """Fallback-engagement telemetry at the CURRENT hyperparameters:
     maximal T-ladder multiplier across blocks and the engaged C-chol
     level (units of noise). Escalation is invisible during training
     (the ladders are silent by design — discrete stop-gradient
     choices); the runner surfaces this once per split so long runs
-    record whether the solver ever left the exact level."""
-    state = buffers["ski_state"]
-    S4 = buffers["ski_uu"]
-    noise = exact_gp.noise_value(params)
-    _, _, diag = _factor_diag(spec, params["kernel"], state, S4, noise)
+    record whether the solver ever left the exact level. Jitted as one
+    program (see factor_diagnostics_traced for the hot-path form)."""
+    t_mult_max, c_over = _factor_diagnostics_jit(spec, params, buffers)
     return {
-        "t_jitter_mult_max": float(jnp.max(diag["t_jitter_mult"])),
-        "c_jitter_over_noise": float(diag["c_jitter_over_noise"]),
+        "t_jitter_mult_max": float(t_mult_max),
+        "c_jitter_over_noise": float(c_over),
     }
+
+
+_factor_diagnostics_jit = jax.jit(factor_diagnostics_traced,
+                                  static_argnums=0)
 
 
 def _G_apply(G, z):

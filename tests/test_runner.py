@@ -205,6 +205,33 @@ def test_runner_distributed_trains_past_patience():
         assert int(rows[0]["iterations"]) > 10  # NOT stopped at patience
 
 
+def test_runner_grid_single_device_end_to_end():
+    """Single-device exact-grid-solver path through the runner,
+    including the posterior+diag AOT program (r5: the jitter-ladder
+    telemetry rides the posterior program instead of dispatching the
+    p x p factor eagerly — 170 s/split at protein scale)."""
+    with tempfile.TemporaryDirectory() as d:
+        spec = _write_spec(d, {
+            "name": "it_grid1",
+            # J=8 measured rmse 0.782 on this seed/fold (J=4 cannot
+            # represent the 8-D synthetic energy target: rmse ~1.02)
+            "kernel": {"type": "projection", "J": 8, "d": 1,
+                       "ski": True, "grid_size": 16},
+            "training": {"lr": 0.1, "max_iters": 80, "patience": 15},
+            "inference": {"max_cholesky_size": 16},
+        })
+        out = os.path.join(d, "r.csv")
+        runner.main([
+            "--model_spec", spec, "--datasets", "energy",
+            "--splits", "5", "--max_splits", "1", "--output", out,
+        ])
+        rows = list(csv.DictReader(open(out)))
+        assert len(rows) == 1
+        assert np.isfinite(float(rows[0]["rmse"]))
+        assert float(rows[0]["rmse"]) < 0.85  # beats constant predictor
+        assert np.isfinite(float(rows[0]["mll"]))
+
+
 def test_runner_mll_pairs_with_best_params():
     """The CSV mll column must describe the SAME params as rmse/nll —
     the best-iterate params — not the last iteration's objective
