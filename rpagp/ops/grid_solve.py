@@ -531,12 +531,14 @@ def _factor_diag(spec: ModelSpec, kparams, state: ski.SKIState, S4, noise,
     J, M = G.shape[0], G.shape[1]
     p = J * M
     # Sg = G^T S G as two J-batched block products (blockdiag structure)
-    if os.environ.get("RPAGP_GSG_DOT", "0") == "1":
-        # explicit batched-GEMM layout (A/B candidate, BENCHMARKS r4c
-        # "GEMM-side einsum tightening"): choose the transposes so each
+    if os.environ.get("RPAGP_GSG_DOT", "1") == "1":
+        # explicit batched-GEMM layout — DEFAULT since the r5c A/B:
+        # 33.44 -> 27.70 ms/step interleaved median at the flagship
+        # shape (identical values; docs/BENCHMARKS.md r5c). Each
         # contraction is ONE dot_general with a leading batch dim and
         # an MXU-shaped (J*M, M) x (M, M) per batch element, instead of
         # whatever layout XLA picks for the 4-axis einsum
+        # (RPAGP_GSG_DOT=0 reverts)
         S_j = S4.transpose(2, 0, 1, 3).reshape(J, J * M, M)  # (j, i*m, n)
         SG_j = jax.lax.dot_general(  # (j, i*m, b)
             S_j, G, (((2,), (1,)), ((0,), (0,))), precision=_HI)

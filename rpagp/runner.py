@@ -166,6 +166,10 @@ def run_split(exp: ExperimentSpec, split, seed: int = 0,
         # persistent AOT: a warm process skips the step's Python
         # trace+lower (~50-100 s for flagship-class graphs, r4g)
         aot_key=(spec, n, iterative, grid, exp.train),
+        # chunked convergence reads: the per-step float(loss) sync costs
+        # a tunnel RTT (~85 vs 26 ms/iter at protein scale, r5b);
+        # trajectory is bit-identical, stop detection lags <= 7 steps
+        sync_every=8,
     )
     train_time = time.perf_counter() - t0
 

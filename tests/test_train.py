@@ -14,6 +14,30 @@ import pytest
 from rpagp.train import ConvergenceTracker, train_fixed, train_to_convergence
 
 
+def test_sync_every_identical_outcome():
+    """sync_every > 1 dispatches ahead but consumes losses in order
+    through the same tracker: same losses prefix, same stop iteration,
+    same best params/loss as the per-step-sync loop."""
+    import numpy as np
+
+    def loss_fn(params, x):
+        return jnp.sum((params["w"] - x) ** 2) + 0.1 * jnp.sum(
+            jnp.sin(20.0 * params["w"]))  # rough surface -> patience stop
+
+    x = jnp.linspace(0.0, 1.0, 4)
+    p0 = {"w": jnp.zeros(4)}
+    kw = dict(lr=0.3, max_iters=200, patience=5, rel_tol=1e-6,
+              loss_args=(x,))
+    a = train_to_convergence(loss_fn, p0, sync_every=1, **kw)
+    b = train_to_convergence(loss_fn, p0, sync_every=8, **kw)
+    assert a.converged and b.converged
+    assert a.iterations == b.iterations
+    np.testing.assert_array_equal(a.losses, b.losses)
+    assert a.best_loss == b.best_loss
+    for la, lb in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
+        np.testing.assert_array_equal(la, lb)
+
+
 def test_tracker_pairs_loss_with_its_params():
     """Unit contract: best_params is the params object passed WITH the
     best loss (the caller guarantees that pairing)."""
