@@ -273,8 +273,15 @@ def train_to_convergence(
         pending.append((loss, params_prev))
         if len(pending) < sync_every and i < max_iters - 1:
             continue  # keep the device queue full (see sync_every)
-        for dloss, pprev in pending:
-            lf = float(dloss)
+        if len(pending) > 1:
+            # ONE device->host transfer for the whole chunk (a float()
+            # per loss would pay one tunnel RTT each — the thing
+            # sync_every exists to avoid)
+            chunk = [float(v) for v in jax.device_get(
+                jnp.stack([dl for dl, _ in pending]))]
+        else:
+            chunk = [float(pending[0][0])]
+        for lf, (_, pprev) in zip(chunk, pending):
             losses.append(lf)
             if verbose and (len(losses) - 1) % 50 == 0:
                 print(f"  iter {len(losses) - 1:4d}  loss {lf:.6f}")
