@@ -102,44 +102,83 @@ def prepare_buffers(spec: ModelSpec, params, buffers, x_train,
     if spec.kernel.ski:
         from ..ops import grid_solve
 
-        # one jit'd call: eager dispatch of the dozens of geometry ops is
-        # pathologically slow on remote-compile TPU paths. Product
-        # (degree*sub_dim > 1) specs build per-FACTOR geometry and lower
-        # to the grid solver (ops/ski_product.py) — beyond-reference.
-        build = jax.jit(
-            lambda kp, kb, xt: grid_solve._build_geometry(
-                spec.kernel, kp, kb, xt, spec.kernel.grid_size
-            )
-        )
-        state = jax.block_until_ready(
-            build(params["kernel"], buffers["kernel"], x_train)
-        )
-        buffers = {**buffers, "ski_state": state}
+        # ONE jit'd (module-level, memoized-by-jit) program per variant:
+        # eager dispatch of the dozens of geometry ops is pathologically
+        # slow on remote-compile TPU paths, and the previous fresh
+        # jax.jit(lambda ...) wrappers re-traced per SPLIT (function-
+        # identity keyed cache; measured 10-13 s/split at protein scale
+        # even warm). Product (degree*sub_dim > 1) specs build
+        # per-FACTOR geometry and lower to the grid solver
+        # (ops/ski_product.py) — beyond-reference.
         if grid_solve.use_grid_solver(spec, x_train.shape[0]):
-            # the exact grid solver's U^T U Gram — hyperparameter-free,
-            # one blocked pass over the data; replaces the per-step
-            # preconditioner entirely (no CG left to precondition)
-            S4 = jax.block_until_ready(jax.jit(
-                lambda st: grid_solve._build_gram(spec.kernel, st)
-            )(state))
-            buffers = {**buffers, "ski_uu": S4}
             if y_train is not None:
-                uy, u1 = jax.block_until_ready(jax.jit(
-                    lambda st, yy: grid_solve.build_interp_y(
-                        spec.kernel, st, yy)
-                )(state, y_train))
+                out = _aot_prepare(
+                    _prepare_grid_y_jit, "prepare_grid_y", spec,
+                    (spec, params["kernel"], buffers["kernel"], x_train,
+                     y_train))
+                state, S4, uy, u1, vc = out
                 # anchored value cache: with it the grid MLL step does
                 # ZERO n-proportional work (grid_solve.build_value_cache)
-                vc = jax.block_until_ready(jax.jit(
-                    lambda st, s4, yy, u: grid_solve.build_value_cache(
-                        spec.kernel, st, s4, yy, u)
-                )(state, S4, y_train, uy))
-                buffers = {**buffers, "ski_uy": uy, "ski_u1": u1,
-                           "ski_vc": vc}
-            return buffers
+                return {**buffers, "ski_state": state, "ski_uu": S4,
+                        "ski_uy": uy, "ski_u1": u1, "ski_vc": vc}
+            state, S4 = _aot_prepare(
+                _prepare_grid_jit, "prepare_grid", spec,
+                (spec, params["kernel"], buffers["kernel"], x_train))
+            return {**buffers, "ski_state": state, "ski_uu": S4}
+        state = _prepare_geometry_jit(spec, params["kernel"],
+                                      buffers["kernel"], x_train)
+        return {**buffers, "ski_state": state}
     if spec.precond_refresh > 1 and spec.precond_rank > 0:
         buffers = refresh_preconditioner(spec, params, buffers, x_train)
     return buffers
+
+
+def _prepare_geometry(spec, kp, kb, xt):
+    from ..ops import grid_solve
+
+    return grid_solve._build_geometry(spec.kernel, kp, kb, xt,
+                                      spec.kernel.grid_size)
+
+
+def _prepare_grid(spec, kp, kb, xt):
+    from ..ops import grid_solve
+
+    state = _prepare_geometry(spec, kp, kb, xt)
+    # the exact grid solver's U^T U Gram — hyperparameter-free, one
+    # blocked pass over the data; replaces the per-step preconditioner
+    # entirely (no CG left to precondition)
+    S4 = grid_solve._build_gram(spec.kernel, state)
+    return state, S4
+
+
+def _prepare_grid_y(spec, kp, kb, xt, yy):
+    from ..ops import grid_solve
+
+    state, S4 = _prepare_grid(spec, kp, kb, xt)
+    uy, u1 = grid_solve.build_interp_y(spec.kernel, state, yy)
+    vc = grid_solve.build_value_cache(spec.kernel, state, S4, yy, uy)
+    return state, S4, uy, u1, vc
+
+
+_prepare_geometry_jit = functools.partial(jax.jit, static_argnums=0)(
+    _prepare_geometry)
+_prepare_grid_jit = functools.partial(jax.jit, static_argnums=0)(
+    _prepare_grid)
+_prepare_grid_y_jit = functools.partial(jax.jit, static_argnums=0)(
+    _prepare_grid_y)
+
+
+def _aot_prepare(jit_fn, tag, spec, args):
+    """Serve a prepare program from the persistent AOT cache (skips its
+    per-process trace+lower); falls back to the plain jitted call."""
+    try:
+        from ..utils.aot_cache import aot_step
+
+        fn = aot_step(functools.partial(jit_fn, spec), args[1:],
+                      key_parts=(tag, spec))
+        return fn(*args[1:])
+    except Exception:
+        return jit_fn(*args)
 
 
 @functools.partial(jax.jit, static_argnums=0)

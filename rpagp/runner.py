@@ -321,6 +321,11 @@ def _run_split_distributed(exp: ExperimentSpec, x, y, xt, yt, seed: int,
                                  rel_tol=exp.train.rel_tol,
                                  stochastic=grid_gram is None,
                                  best_params=params)
+    # chunked convergence reads, same contract as train_to_convergence
+    # sync_every=8: one stacked device_get per window instead of a
+    # tunnel RTT per step; trajectory identical, stop lags <= 7 steps
+    stop = False
+    pending = []
     for i in range(exp.train.max_iters):
         key, k = jax.random.split(key)
         params_prev = params
@@ -329,13 +334,20 @@ def _run_split_distributed(exp: ExperimentSpec, x, y, xt, yt, seed: int,
                                        grid_u1, grid_vc)
         if i == 0:
             _warn_if_frozen(params_prev, params)
-        loss = float(loss)
-        losses.append(loss)
-        if not jnp.isfinite(loss):
-            break
         # pair the loss with the params it was evaluated at (train.py
         # ConvergenceTracker contract — not the post-update iterate)
-        if tracker.update(loss, params_prev):
+        pending.append((loss, params_prev))
+        if len(pending) < 8 and i < exp.train.max_iters - 1:
+            continue
+        chunk = [float(v) for v in jax.device_get(
+            jnp.stack([dl for dl, _ in pending]))]
+        for lf, (_, pprev) in zip(chunk, pending):
+            losses.append(lf)
+            if not jnp.isfinite(lf) or tracker.update(lf, pprev):
+                stop = True
+                break
+        pending.clear()
+        if stop:
             break
     best_params = tracker.best_params
     train_time = time.perf_counter() - t0
