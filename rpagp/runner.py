@@ -170,6 +170,11 @@ def run_split(exp: ExperimentSpec, split, seed: int = 0,
         # a tunnel RTT (~85 vs 26 ms/iter at protein scale, r5b);
         # trajectory is bit-identical, stop detection lags <= 7 steps
         sync_every=8,
+        # scanned k-step chunk: one XLA program per 8 steps removes the
+        # per-step dispatch RTT too (57 -> ~step-cost ms/iter, r5h);
+        # falls back to the sync_every loop when precond_refresh makes
+        # gcd(8, refresh) < 2
+        chunk_steps=8,
     )
     train_time = time.perf_counter() - t0
 

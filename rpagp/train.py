@@ -97,6 +97,63 @@ def make_step(loss_fn: Callable, optimizer, with_key: bool = False) -> Callable:
     return step
 
 
+def make_chunk(loss_fn: Callable, optimizer, with_key: bool,
+               k: int) -> Callable:
+    """Build (memoized) ONE jitted program that runs `k` optimizer steps
+    back-to-back via lax.scan and returns every step's loss and
+    pre-step params.
+
+    Signature: chunk(params, opt_state, *loss_args, key) ->
+    (params, opt_state, losses[k], pstack, key_out) where pstack is the
+    params pytree with a leading k axis (params BEFORE step j — the
+    iterate each loss was evaluated at; GP hyperparameter pytrees are
+    tiny, so stacking k copies is ~free) and key_out continues the host
+    key stream (the chunk performs the same per-step
+    `key, sub = split(key)` the host loop would).
+
+    Why: on remote-tunnel transports each step DISPATCH costs an RTT
+    even with chunked loss reads (warm loop 57 ms/iter against the
+    29 ms step — BENCHMARKS r5f); one scanned program per k steps pays
+    one dispatch per k. The reference's torch loop has no analog (eager
+    dispatch per op). [U] training_routines.py train_to_convergence is
+    the contract being accelerated."""
+    try:
+        cache_key = ("chunk", loss_fn, optimizer, with_key, k,
+                     resolve_env_switches())
+        if cache_key in _STEP_CACHE:
+            return _STEP_CACHE[cache_key]
+    except TypeError:
+        cache_key = None
+
+    @jax.jit
+    def chunk(params, opt_state, *rest):
+        if with_key:
+            *args, key = rest
+        else:
+            args, key = rest, jax.random.key(0)
+
+        def body(carry, _):
+            params, opt_state, key = carry
+            if with_key:
+                key, sub = jax.random.split(key)
+                loss, grads = jax.value_and_grad(loss_fn)(params, *args, sub)
+            else:
+                loss, grads = jax.value_and_grad(loss_fn)(params, *args)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return (new_params, opt_state, key), (loss, params)
+
+        (params, opt_state, key), (dlosses, pstack) = jax.lax.scan(
+            body, (params, opt_state, key), None, length=k)
+        return params, opt_state, dlosses, pstack, key
+
+    if cache_key is not None:
+        if len(_STEP_CACHE) >= _STEP_CACHE_MAX:
+            _STEP_CACHE.pop(next(iter(_STEP_CACHE)))
+        _STEP_CACHE[cache_key] = chunk
+    return chunk
+
+
 def _build_step(loss_fn: Callable, optimizer, with_key: bool) -> Callable:
     if with_key:
 
@@ -160,6 +217,18 @@ class ConvergenceTracker:
         return self.bad >= self.patience
 
 
+class _ChunkSlot:
+    """Placeholder best_params inside one chunk's tracker pass: records
+    the winning step index; the real pytree is materialized with ONE
+    device slice per improving chunk (slicing per step would re-pay the
+    per-op dispatch the chunk exists to avoid)."""
+
+    __slots__ = ("j",)
+
+    def __init__(self, j: int):
+        self.j = j
+
+
 def _warn_if_frozen(params_prev, params):
     """Zero-gradient stall detection (failure-detection subsystem).
 
@@ -202,6 +271,7 @@ def train_to_convergence(
     args_refresh=None,
     aot_key=None,
     sync_every: int = 1,
+    chunk_steps: int = 1,
 ) -> TrainResult:
     """Adam to convergence with patience stopping on the best loss seen.
 
@@ -233,20 +303,29 @@ def train_to_convergence(
     bit-identical — losses are still consumed in order through the
     same tracker — only stop DETECTION lags, so up to k-1 extra steps
     are dispatched and discarded past the stopping point.
+    chunk_steps: run k optimizer steps as ONE lax.scan program
+    (make_chunk) instead of k dispatches — removes the per-step
+    dispatch RTT that sync_every cannot (warm loop 57 ms/iter vs the
+    29 ms step, BENCHMARKS r5f). Same stop-detection lag contract as
+    sync_every (<= k-1 extra dispatched steps discarded past the stop);
+    the per-step math is the same program text but compiled as one
+    module, so the trajectory may differ from the single-step program
+    at f32 reduction-order roundoff (like r5c/r5f — tested equivalent).
+    When args_refresh is set, the effective chunk is gcd(chunk_steps,
+    every) so refreshes stay on chunk boundaries; gcd < 2 falls back to
+    the sync_every loop.
     """
+    import math as _math
+
     optimizer = optimizer or optax.adam(lr)
     opt_state = optimizer.init(params)
     stochastic = key is not None
-    step = make_step(loss_fn, optimizer, with_key=stochastic)
+    every = args_refresh[0] if args_refresh is not None else 0
+    k_eff = 1
+    if chunk_steps > 1:
+        k_eff = _math.gcd(chunk_steps, every) if every else chunk_steps
     if aot_key is not None:
         from .utils.aot_cache import aot_step
-
-        example = (params, opt_state) + tuple(loss_args)
-        if stochastic:
-            # aval-only example key: the REAL key stream is untouched,
-            # so AOT and non-AOT runs share the exact trajectory
-            example = example + (jax.random.key(0),)
-        step = aot_step(step, example, aot_key)
 
     tracker = ConvergenceTracker(patience=patience, rel_tol=rel_tol,
                                  stochastic=stochastic, best_params=params)
@@ -254,6 +333,66 @@ def train_to_convergence(
     t0 = time.perf_counter()
     converged = False
     diverged = False
+
+    if k_eff > 1:
+        chunk = make_chunk(loss_fn, optimizer, stochastic, k_eff)
+        if aot_key is not None:
+            example = (params, opt_state) + tuple(loss_args)
+            if stochastic:
+                example = example + (jax.random.key(0),)
+            chunk = aot_step(chunk, example, ("chunk", k_eff, aot_key))
+        i = 0
+        while i < max_iters and not (converged or diverged):
+            if args_refresh is not None and i > 0 and i % every == 0:
+                loss_args = args_refresh[1](params, loss_args)
+            # the final chunk may overshoot max_iters: extra dispatched
+            # steps are discarded, exactly the sync_every lag contract
+            take = min(k_eff, max_iters - i)
+            if stochastic:
+                params, opt_state, dl, pstack, key = chunk(
+                    params, opt_state, *loss_args, key)
+            else:
+                params, opt_state, dl, pstack, _ = chunk(
+                    params, opt_state, *loss_args)
+            if i == 0:
+                _warn_if_frozen(jax.tree.map(lambda a: a[0], pstack),
+                                jax.tree.map(lambda a: a[1], pstack))
+            # ONE device->host transfer per chunk
+            chunk_losses = [float(v) for v in jax.device_get(dl)][:take]
+            for j, lf in enumerate(chunk_losses):
+                losses.append(lf)
+                if verbose and (len(losses) - 1) % 50 == 0:
+                    print(f"  iter {len(losses) - 1:4d}  loss {lf:.6f}")
+                if not jnp.isfinite(lf):
+                    diverged = True
+                    break
+                if tracker.update(lf, _ChunkSlot(j)):
+                    converged = True
+                    break
+            if isinstance(tracker.best_params, _ChunkSlot):
+                jj = tracker.best_params.j
+                tracker.best_params = jax.tree.map(
+                    lambda a: a[jj], pstack)
+            i += take
+        return TrainResult(
+            params=tracker.best_params,
+            losses=losses,
+            iterations=len(losses),
+            converged=converged,
+            wall_time_s=time.perf_counter() - t0,
+            best_loss=(tracker.best if tracker.best != float("inf")
+                       else float("nan")),
+        )
+
+    step = make_step(loss_fn, optimizer, with_key=stochastic)
+    if aot_key is not None:
+        example = (params, opt_state) + tuple(loss_args)
+        if stochastic:
+            # aval-only example key: the REAL key stream is untouched,
+            # so AOT and non-AOT runs share the exact trajectory
+            example = example + (jax.random.key(0),)
+        step = aot_step(step, example, aot_key)
+
     pending = []  # (device loss, params it was evaluated at)
     for i in range(max_iters):
         if args_refresh is not None and i > 0 and i % args_refresh[0] == 0:

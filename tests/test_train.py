@@ -38,6 +38,91 @@ def test_sync_every_identical_outcome():
         np.testing.assert_array_equal(la, lb)
 
 
+def test_chunk_steps_matches_per_step_loop():
+    """chunk_steps > 1 (one lax.scan program per k steps) walks the
+    same trajectory as the per-step loop: same stop iteration, same
+    losses (to scan-fusion roundoff), same best params, and the
+    returned params achieve the recorded best loss. Covers: patience
+    stop mid-chunk, max_iters not a multiple of k (tail overshoot
+    discard), and the deterministic no-key path."""
+    import numpy as np
+
+    def loss_fn(params, x):
+        return jnp.sum((params["w"] - x) ** 2) + 0.1 * jnp.sum(
+            jnp.sin(20.0 * params["w"]))
+
+    x = jnp.linspace(0.0, 1.0, 4)
+    p0 = {"w": jnp.zeros(4)}
+    kw = dict(lr=0.3, max_iters=203, patience=5, rel_tol=1e-6,
+              loss_args=(x,))
+    a = train_to_convergence(loss_fn, p0, sync_every=1, **kw)
+    b = train_to_convergence(loss_fn, p0, chunk_steps=8, **kw)
+    assert a.converged and b.converged
+    assert a.iterations == b.iterations
+    np.testing.assert_allclose(a.losses, b.losses, rtol=1e-5)
+    assert b.best_loss == pytest.approx(a.best_loss, rel=1e-5)
+    for la, lb in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
+        np.testing.assert_allclose(la, lb, rtol=1e-5, atol=1e-7)
+    # returned params achieve the recorded best (the _ChunkSlot
+    # materialization picked the right in-chunk iterate)
+    re_eval = float(loss_fn(b.params, x))
+    assert re_eval == pytest.approx(min(b.losses), rel=1e-5, abs=1e-7)
+
+
+def test_chunk_steps_stochastic_key_stream():
+    """Stochastic path: the chunk's in-scan key splits continue the
+    host stream, so chunked and per-step runs see identical probe
+    subkeys (same loss sequence up to roundoff)."""
+    import numpy as np
+
+    def loss_fn(params, x, key):
+        noise = 0.01 * jax.random.normal(key, ())
+        return jnp.sum((params["w"] - x) ** 2) + noise
+
+    x = jnp.linspace(-1.0, 1.0, 3)
+    p0 = {"w": jnp.zeros(3)}
+    kw = dict(lr=0.2, max_iters=40, patience=100, rel_tol=1e-9,
+              loss_args=(x,))
+    a = train_to_convergence(loss_fn, p0, key=jax.random.key(7),
+                             sync_every=1, **kw)
+    b = train_to_convergence(loss_fn, p0, key=jax.random.key(7),
+                             chunk_steps=5, **kw)
+    assert a.iterations == b.iterations == 40
+    np.testing.assert_allclose(a.losses, b.losses, rtol=1e-5, atol=1e-7)
+
+
+def test_chunk_steps_respects_refresh_boundaries():
+    """args_refresh(every=6) with chunk_steps=8 -> effective chunk
+    gcd(8,6)=2; refreshes must fire at exactly the same iterations as
+    the per-step loop (multiples of 6), keeping trajectories aligned."""
+    import numpy as np
+
+    calls_a, calls_b = [], []
+
+    def loss_fn(params, c, x):
+        return jnp.sum((params["w"] - x - c) ** 2)
+
+    x = jnp.linspace(0.0, 1.0, 3)
+    p0 = {"w": jnp.zeros(3)}
+
+    def make_refresh(log):
+        def refresh(params, loss_args):
+            log.append(len(log))
+            # bump the offset each refresh so the refresh SCHEDULE is
+            # observable in the loss trajectory
+            return (loss_args[0] + 0.05, loss_args[1])
+        return (6, refresh)
+
+    kw = dict(lr=0.2, max_iters=25, patience=100, rel_tol=1e-9)
+    a = train_to_convergence(loss_fn, p0, loss_args=(jnp.asarray(0.0), x),
+                             args_refresh=make_refresh(calls_a), **kw)
+    b = train_to_convergence(loss_fn, p0, loss_args=(jnp.asarray(0.0), x),
+                             args_refresh=make_refresh(calls_b),
+                             chunk_steps=8, **kw)
+    assert len(calls_a) == len(calls_b) == 4  # iters 6, 12, 18, 24
+    np.testing.assert_allclose(a.losses, b.losses, rtol=1e-5, atol=1e-7)
+
+
 def test_tracker_pairs_loss_with_its_params():
     """Unit contract: best_params is the params object passed WITH the
     best loss (the caller guarantees that pairing)."""
