@@ -200,6 +200,14 @@ def train_svgp(spec: ModelSpec, params, buffers, x, y, key,
     steps = max(1, n // b)
     epoch, opt = _epoch_program(spec, n, steps, b, lr)
     opt_state = opt.init(params)
+    # persistent AOT: the epoch program's trace is small but its
+    # XLA pipeline still cost ~100 s cold at n=1.8M (BENCHMARKS r5d);
+    # a warm process deserializes the lowered module instead
+    from ..utils.aot_cache import aot_step
+
+    epoch = aot_step(
+        epoch, (params, opt_state, x, y, buffers, jax.random.key(0)),
+        key_parts=("svgp_epoch", spec, n, steps, b, lr))
 
     losses = []
     for e in range(num_epochs):

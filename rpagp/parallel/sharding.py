@@ -474,13 +474,56 @@ def make_distributed_train_step(spec: ModelSpec, mesh: Mesh, optimizer,
     key = (spec, mesh, optimizer, n_global, jnp.dtype(dtype).name,
            resolve_env_switches())
     return _memo(_DIST_STEP_CACHE, key,
-                 lambda: _build_distributed_train_step(
-                     spec, mesh, optimizer, n_global, dtype))
+                 lambda: jax.jit(_build_distributed_train_body(
+                     spec, mesh, optimizer, n_global, dtype)))
 
 
-def _build_distributed_train_step(spec: ModelSpec, mesh: Mesh, optimizer,
+def make_distributed_train_chunk(spec: ModelSpec, mesh: Mesh, optimizer,
+                                 n_global: int, k: int, dtype=jnp.float32):
+    """Memoized SPMD k-step chunk: ONE jitted program scans k distributed
+    Adam steps (train.make_chunk's SPMD mirror — the per-step dispatch
+    RTT the sync_every read-chunking cannot remove, BENCHMARKS r5h).
+
+    chunk(params, buffers, opt_state, xs, ys, key, ski_state, grid_gram,
+    grid_uy, grid_u1, grid_vc) -> (params, opt_state, losses[k], pstack,
+    key_out); pstack carries each step's PRE-step params (leading k
+    axis), and the in-scan `key, sub = split(key)` continues the host
+    stream exactly as the per-step loop would."""
+    from ..train import resolve_env_switches
+
+    mkey = ("chunk", spec, mesh, optimizer, n_global, k,
+            jnp.dtype(dtype).name, resolve_env_switches())
+
+    def build():
+        body = _build_distributed_train_body(spec, mesh, optimizer,
+                                             n_global, dtype)
+
+        @jax.jit
+        def chunk(params, buffers, opt_state, x_sharded, y_sharded, key,
+                  ski_state=None, grid_gram=None, grid_uy=None,
+                  grid_u1=None, grid_vc=None):
+            def sbody(carry, _):
+                params, opt_state, key = carry
+                key, sub = jax.random.split(key)
+                new_params, opt_state, loss = body(
+                    params, buffers, opt_state, x_sharded, y_sharded, sub,
+                    ski_state, grid_gram, grid_uy, grid_u1, grid_vc)
+                return (new_params, opt_state, key), (loss, params)
+
+            (params, opt_state, key), (losses, pstack) = jax.lax.scan(
+                sbody, (params, opt_state, key), None, length=k)
+            return params, opt_state, losses, pstack, key
+
+        return chunk
+
+    return _memo(_DIST_STEP_CACHE, mkey, build)
+
+
+def _build_distributed_train_body(spec: ModelSpec, mesh: Mesh, optimizer,
                                   n_global: int, dtype=jnp.float32):
-    """One jit'd SPMD Adam step on row-sharded (x, y).
+    """One SPMD Adam step on row-sharded (x, y) — returned UN-jitted so
+    make_distributed_train_step can jit it directly and
+    make_distributed_train_chunk can lax.scan it.
 
     Returns step(params, buffers, opt_state, x_sharded, y_sharded, key[,
     ski_state[, grid_gram]]) -> (params, opt_state, loss). Everything
@@ -539,7 +582,6 @@ def _build_distributed_train_step(spec: ModelSpec, mesh: Mesh, optimizer,
 
     in_axis = P(AXIS)  # data-sharded, comp-replicated (if comp exists)
 
-    @jax.jit
     def step(params, buffers, opt_state, x_sharded, y_sharded, key,
              ski_state=None, grid_gram=None, grid_uy=None, grid_u1=None,
              grid_vc=None):

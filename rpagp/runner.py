@@ -297,7 +297,9 @@ def _run_split_distributed(exp: ExperimentSpec, x, y, xt, yt, seed: int,
             _FN_CACHE.pop(next(iter(_FN_CACHE)))
         _FN_CACHE[opt_key] = make_optimizer(exp.train)
     opt = _FN_CACHE[opt_key]
-    step = sharding.make_distributed_train_step(spec, mesh, opt, n_global=n)
+    chunk_k = 8
+    chunk = sharding.make_distributed_train_chunk(spec, mesh, opt,
+                                                  n_global=n, k=chunk_k)
 
     xs = sharding.shard_rows(x, mesh)
     ys = sharding.shard_rows(y, mesh)
@@ -315,7 +317,7 @@ def _run_split_distributed(exp: ExperimentSpec, x, y, xt, yt, seed: int,
                                                      xs, mesh)
     opt_state = opt.init(params)
 
-    from .train import ConvergenceTracker, _warn_if_frozen
+    from .train import ConvergenceTracker, _ChunkSlot, _warn_if_frozen
 
     key = jax.random.key(seed + 1)
     t0 = time.perf_counter()
@@ -326,34 +328,32 @@ def _run_split_distributed(exp: ExperimentSpec, x, y, xt, yt, seed: int,
                                  rel_tol=exp.train.rel_tol,
                                  stochastic=grid_gram is None,
                                  best_params=params)
-    # chunked convergence reads, same contract as train_to_convergence
-    # sync_every=8: one stacked device_get per window instead of a
-    # tunnel RTT per step; trajectory identical, stop lags <= 7 steps
+    # scanned k-step chunk (train.make_chunk's SPMD mirror): ONE program
+    # dispatch + ONE stacked loss read per 8 steps; losses still flow in
+    # order through the tracker, stop detection lags <= 7 dispatched
+    # steps (discarded), per-step math identical to the single step
     stop = False
-    pending = []
-    for i in range(exp.train.max_iters):
-        key, k = jax.random.split(key)
-        params_prev = params
-        params, opt_state, loss = step(params, buffers, opt_state, xs, ys, k,
-                                       ski_state, grid_gram, grid_uy,
-                                       grid_u1, grid_vc)
+    i = 0
+    while i < exp.train.max_iters and not stop:
+        take = min(chunk_k, exp.train.max_iters - i)
+        params, opt_state, dl, pstack, key = chunk(
+            params, buffers, opt_state, xs, ys, key,
+            ski_state, grid_gram, grid_uy, grid_u1, grid_vc)
         if i == 0:
-            _warn_if_frozen(params_prev, params)
-        # pair the loss with the params it was evaluated at (train.py
-        # ConvergenceTracker contract — not the post-update iterate)
-        pending.append((loss, params_prev))
-        if len(pending) < 8 and i < exp.train.max_iters - 1:
-            continue
-        chunk = [float(v) for v in jax.device_get(
-            jnp.stack([dl for dl, _ in pending]))]
-        for lf, (_, pprev) in zip(chunk, pending):
+            _warn_if_frozen(jax.tree.map(lambda a: a[0], pstack),
+                            jax.tree.map(lambda a: a[1], pstack))
+        for j, lf in enumerate(
+                [float(v) for v in jax.device_get(dl)][:take]):
             losses.append(lf)
-            if not jnp.isfinite(lf) or tracker.update(lf, pprev):
+            # pair the loss with the params it was evaluated at
+            # (train.py ConvergenceTracker contract)
+            if not jnp.isfinite(lf) or tracker.update(lf, _ChunkSlot(j)):
                 stop = True
                 break
-        pending.clear()
-        if stop:
-            break
+        if isinstance(tracker.best_params, _ChunkSlot):
+            jj = tracker.best_params.j
+            tracker.best_params = jax.tree.map(lambda a: a[jj], pstack)
+        i += take
     best_params = tracker.best_params
     train_time = time.perf_counter() - t0
 

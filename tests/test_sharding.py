@@ -133,6 +133,57 @@ def test_distributed_train_step_runs_and_learns_ski():
     assert losses[-1] < losses[0], losses
 
 
+def test_distributed_train_chunk_matches_per_step():
+    """make_distributed_train_chunk (one scanned program per k steps)
+    walks the same trajectory as k make_distributed_train_step
+    dispatches: same key stream, same losses (to scan-fusion roundoff),
+    pstack[j] = pre-step-j params."""
+    mesh = _mesh()
+    n = 128
+    x, y = _data(n=n)
+    spec = ModelSpec(
+        kernel=KernelSpec.polynomial(J=4, d=1, ski=True, grid_size=64),
+        cg_max_iters=30, precond_rank=0, num_probes=8,
+    )
+    params0, buffers = init_model(KEY, spec, 4)
+    opt = optax.adam(0.1)
+    step = sharding.make_distributed_train_step(spec, mesh, opt, n_global=n)
+    chunk = sharding.make_distributed_train_chunk(spec, mesh, opt,
+                                                  n_global=n, k=6)
+
+    xs = sharding.shard_rows(x, mesh)
+    ys = sharding.shard_rows(y, mesh)
+    params = sharding.replicate(params0, mesh)
+    buffers = sharding.replicate(buffers, mesh)
+    opt_state = opt.init(params)
+
+    key = jax.random.key(11)
+    ref_losses, ref_pre = [], []
+    p, s = params, opt_state
+    for i in range(6):
+        key, k = jax.random.split(key)
+        ref_pre.append(p)
+        p, s, loss = step(p, buffers, s, xs, ys, k)
+        ref_losses.append(float(loss))
+
+    pc, sc, dl, pstack, key_out = chunk(params, buffers, opt_state, xs, ys,
+                                        jax.random.key(11))
+    np.testing.assert_allclose(np.asarray(jax.device_get(dl)),
+                               ref_losses, rtol=1e-5)
+    for la, lb in zip(jax.tree.leaves(pc), jax.tree.leaves(p)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-5, atol=1e-6)
+    # pstack[2] is the params BEFORE step 2
+    mid = jax.tree.map(lambda a: a[2], pstack)
+    for la, lb in zip(jax.tree.leaves(mid), jax.tree.leaves(ref_pre[2])):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-5, atol=1e-6)
+    # key stream continues where the host loop's would
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(key_out)),
+        np.asarray(jax.random.key_data(key)))
+
+
 def test_distributed_train_step_with_preconditioner():
     """Dense ring path + sharded Woodbury preconditioner (rank > 0)."""
     mesh = _mesh()
