@@ -481,8 +481,9 @@ def make_distributed_train_step(spec: ModelSpec, mesh: Mesh, optimizer,
 def make_distributed_train_chunk(spec: ModelSpec, mesh: Mesh, optimizer,
                                  n_global: int, k: int, dtype=jnp.float32):
     """Memoized SPMD k-step chunk: ONE jitted program scans k distributed
-    Adam steps (train.make_chunk's SPMD mirror — the per-step dispatch
-    RTT the sync_every read-chunking cannot remove, BENCHMARKS r5h).
+    Adam steps (train.make_chunk's SPMD mirror). Opt-in, NOT the runner
+    default: the single-device A/B measured the scanned chunk ~3 ms/iter
+    slower than the per-step sync_every loop (BENCHMARKS r5h).
 
     chunk(params, buffers, opt_state, xs, ys, key, ski_state, grid_gram,
     grid_uy, grid_u1, grid_vc) -> (params, opt_state, losses[k], pstack,

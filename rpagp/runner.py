@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import csv
+import math
 import functools
 import sys
 import time
@@ -168,13 +169,12 @@ def run_split(exp: ExperimentSpec, split, seed: int = 0,
         aot_key=(spec, n, iterative, grid, exp.train),
         # chunked convergence reads: the per-step float(loss) sync costs
         # a tunnel RTT (~85 vs 26 ms/iter at protein scale, r5b);
-        # trajectory is bit-identical, stop detection lags <= 7 steps
+        # trajectory is bit-identical, stop detection lags <= 7 steps.
+        # chunk_steps (one scanned program per k steps) measured SLOWER
+        # than this per-step loop (30.2 vs 27.1 ms/iter, r5h interleaved
+        # A/B) — per-step dispatch overhead is ~1 ms once the loop stops
+        # syncing per loss; the scan pays ~3 ms/iter stacking overhead
         sync_every=8,
-        # scanned k-step chunk: one XLA program per 8 steps removes the
-        # per-step dispatch RTT too (57 -> ~step-cost ms/iter, r5h);
-        # falls back to the sync_every loop when precond_refresh makes
-        # gcd(8, refresh) < 2
-        chunk_steps=8,
     )
     train_time = time.perf_counter() - t0
 
@@ -297,9 +297,7 @@ def _run_split_distributed(exp: ExperimentSpec, x, y, xt, yt, seed: int,
             _FN_CACHE.pop(next(iter(_FN_CACHE)))
         _FN_CACHE[opt_key] = make_optimizer(exp.train)
     opt = _FN_CACHE[opt_key]
-    chunk_k = 8
-    chunk = sharding.make_distributed_train_chunk(spec, mesh, opt,
-                                                  n_global=n, k=chunk_k)
+    step = sharding.make_distributed_train_step(spec, mesh, opt, n_global=n)
 
     xs = sharding.shard_rows(x, mesh)
     ys = sharding.shard_rows(y, mesh)
@@ -317,7 +315,7 @@ def _run_split_distributed(exp: ExperimentSpec, x, y, xt, yt, seed: int,
                                                      xs, mesh)
     opt_state = opt.init(params)
 
-    from .train import ConvergenceTracker, _ChunkSlot, _warn_if_frozen
+    from .train import ConvergenceTracker, _warn_if_frozen
 
     key = jax.random.key(seed + 1)
     t0 = time.perf_counter()
@@ -328,32 +326,38 @@ def _run_split_distributed(exp: ExperimentSpec, x, y, xt, yt, seed: int,
                                  rel_tol=exp.train.rel_tol,
                                  stochastic=grid_gram is None,
                                  best_params=params)
-    # scanned k-step chunk (train.make_chunk's SPMD mirror): ONE program
-    # dispatch + ONE stacked loss read per 8 steps; losses still flow in
-    # order through the tracker, stop detection lags <= 7 dispatched
-    # steps (discarded), per-step math identical to the single step
+    # chunked convergence reads, same contract as train_to_convergence
+    # sync_every=8: one stacked device_get per window instead of a
+    # tunnel RTT per step; trajectory identical, stop lags <= 7 steps.
+    # (The scanned-chunk variant — make_distributed_train_chunk — lost
+    # its single-device A/B to this per-step loop, BENCHMARKS r5h; all
+    # finiteness checks run on HOST floats: jnp.isfinite on a python
+    # float costs a device sync per iteration, the r5h 2x finding.)
     stop = False
-    i = 0
-    while i < exp.train.max_iters and not stop:
-        take = min(chunk_k, exp.train.max_iters - i)
-        params, opt_state, dl, pstack, key = chunk(
-            params, buffers, opt_state, xs, ys, key,
-            ski_state, grid_gram, grid_uy, grid_u1, grid_vc)
+    pending = []
+    for i in range(exp.train.max_iters):
+        key, k = jax.random.split(key)
+        params_prev = params
+        params, opt_state, loss = step(params, buffers, opt_state, xs, ys, k,
+                                       ski_state, grid_gram, grid_uy,
+                                       grid_u1, grid_vc)
         if i == 0:
-            _warn_if_frozen(jax.tree.map(lambda a: a[0], pstack),
-                            jax.tree.map(lambda a: a[1], pstack))
-        for j, lf in enumerate(
-                [float(v) for v in jax.device_get(dl)][:take]):
+            _warn_if_frozen(params_prev, params)
+        # pair the loss with the params it was evaluated at (train.py
+        # ConvergenceTracker contract — not the post-update iterate)
+        pending.append((loss, params_prev))
+        if len(pending) < 8 and i < exp.train.max_iters - 1:
+            continue
+        chunk = [float(v) for v in jax.device_get(
+            jnp.stack([dl for dl, _ in pending]))]
+        for lf, (_, pprev) in zip(chunk, pending):
             losses.append(lf)
-            # pair the loss with the params it was evaluated at
-            # (train.py ConvergenceTracker contract)
-            if not jnp.isfinite(lf) or tracker.update(lf, _ChunkSlot(j)):
+            if not math.isfinite(lf) or tracker.update(lf, pprev):
                 stop = True
                 break
-        if isinstance(tracker.best_params, _ChunkSlot):
-            jj = tracker.best_params.j
-            tracker.best_params = jax.tree.map(lambda a: a[jj], pstack)
-        i += take
+        pending.clear()
+        if stop:
+            break
     best_params = tracker.best_params
     train_time = time.perf_counter() - t0
 

@@ -18,6 +18,7 @@ Two loops are provided:
 from __future__ import annotations
 
 import dataclasses
+import math
 import time
 from typing import Callable
 
@@ -111,12 +112,15 @@ def make_chunk(loss_fn: Callable, optimizer, with_key: bool,
     key stream (the chunk performs the same per-step
     `key, sub = split(key)` the host loop would).
 
-    Why: on remote-tunnel transports each step DISPATCH costs an RTT
-    even with chunked loss reads (warm loop 57 ms/iter against the
-    29 ms step — BENCHMARKS r5f); one scanned program per k steps pays
-    one dispatch per k. The reference's torch loop has no analog (eager
-    dispatch per op). [U] training_routines.py train_to_convergence is
-    the contract being accelerated."""
+    MEASURED NEGATIVE RESULT (BENCHMARKS r5h) — kept as tested opt-in,
+    NOT the default: the scanned chunk reads 30.2 ms/iter vs 27.1 for
+    the per-step sync_every loop on the warm protein train call (the
+    r5f "57 ms/iter residual = dispatch RTT" hypothesis was wrong; the
+    residual was a per-loss jnp.isfinite device sync, since fixed).
+    Per-step dispatch overhead is ~1 ms/iter once the loop stops
+    syncing per loss; the scan pays ~3 ms/iter stacking/fusion
+    overhead. [U] training_routines.py train_to_convergence is the
+    contract."""
     try:
         cache_key = ("chunk", loss_fn, optimizer, with_key, k,
                      resolve_env_switches())
@@ -304,26 +308,24 @@ def train_to_convergence(
     same tracker — only stop DETECTION lags, so up to k-1 extra steps
     are dispatched and discarded past the stopping point.
     chunk_steps: run k optimizer steps as ONE lax.scan program
-    (make_chunk) instead of k dispatches — removes the per-step
-    dispatch RTT that sync_every cannot (warm loop 57 ms/iter vs the
-    29 ms step, BENCHMARKS r5f). Same stop-detection lag contract as
-    sync_every (<= k-1 extra dispatched steps discarded past the stop);
-    the per-step math is the same program text but compiled as one
-    module, so the trajectory may differ from the single-step program
-    at f32 reduction-order roundoff (like r5c/r5f — tested equivalent).
-    When args_refresh is set, the effective chunk is gcd(chunk_steps,
-    every) so refreshes stay on chunk boundaries; gcd < 2 falls back to
-    the sync_every loop.
+    (make_chunk) instead of k dispatches. Opt-in, measured SLOWER than
+    the sync_every loop on the warm protein call (30.2 vs 27.1 ms/iter
+    — BENCHMARKS r5h; see make_chunk). Same stop-detection lag contract
+    as sync_every (<= k-1 extra dispatched steps discarded past the
+    stop); the per-step math is the same program text but compiled as
+    one module, so the trajectory may differ from the single-step
+    program at f32 reduction-order roundoff (like r5c/r5f — tested
+    equivalent). When args_refresh is set, the effective chunk is
+    gcd(chunk_steps, every) so refreshes stay on chunk boundaries;
+    gcd < 2 falls back to the sync_every loop.
     """
-    import math as _math
-
     optimizer = optimizer or optax.adam(lr)
     opt_state = optimizer.init(params)
     stochastic = key is not None
     every = args_refresh[0] if args_refresh is not None else 0
     k_eff = 1
     if chunk_steps > 1:
-        k_eff = _math.gcd(chunk_steps, every) if every else chunk_steps
+        k_eff = math.gcd(chunk_steps, every) if every else chunk_steps
     if aot_key is not None:
         from .utils.aot_cache import aot_step
 
@@ -363,7 +365,7 @@ def train_to_convergence(
                 losses.append(lf)
                 if verbose and (len(losses) - 1) % 50 == 0:
                     print(f"  iter {len(losses) - 1:4d}  loss {lf:.6f}")
-                if not jnp.isfinite(lf):
+                if not math.isfinite(lf):
                     diverged = True
                     break
                 if tracker.update(lf, _ChunkSlot(j)):
@@ -424,7 +426,7 @@ def train_to_convergence(
             losses.append(lf)
             if verbose and (len(losses) - 1) % 50 == 0:
                 print(f"  iter {len(losses) - 1:4d}  loss {lf:.6f}")
-            if not jnp.isfinite(lf):
+            if not math.isfinite(lf):
                 diverged = True  # return the best params seen
                 break
             if tracker.update(lf, pprev):
@@ -536,7 +538,7 @@ def train_with_checkpointing(
             params, opt_state, loss = step(params, opt_state, *loss_args)
         loss = float(loss)
         losses.append(loss)
-        if not jnp.isfinite(loss):
+        if not math.isfinite(loss):
             break
         # pair the loss with the params it was evaluated at (see
         # train_to_convergence)

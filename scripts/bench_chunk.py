@@ -45,11 +45,19 @@ def main():
         return -mll_fn(spec, p, b, xx, yy) / n
 
     optimizer = make_optimizer(exp.train)
+    aot = (spec, n, False, True, exp.train)
     kw = dict(lr=exp.train.lr, max_iters=iters, patience=10 * iters,
-              rel_tol=0.0, loss_args=(buffers, x, y), optimizer=optimizer,
-              aot_key=(spec, n, False, True, exp.train))
+              rel_tol=0.0, loss_args=(buffers, x, y), optimizer=optimizer)
 
-    variants = {"sync8": dict(sync_every=8), "chunk8": dict(chunk_steps=8)}
+    # 4-way: loop shape (per-step dispatch vs scanned chunk) x program
+    # source (jax.export AOT vs plain jit) — the 2x question is whether
+    # the AOT-exported module itself runs slower than the jitted one
+    variants = {
+        "sync8_aot": dict(sync_every=8, aot_key=aot),
+        "chunk8_aot": dict(chunk_steps=8, aot_key=aot),
+        "sync8_jit": dict(sync_every=8),
+        "chunk8_jit": dict(chunk_steps=8),
+    }
     results = {k: [] for k in variants}
     # warm both programs (AOT load / trace+compile) outside the timing
     for name, v in variants.items():
